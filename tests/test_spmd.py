@@ -1,0 +1,94 @@
+"""Sharding tests: mesh specs, sharded train step on a virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dismember_tpu.core import mesh as meshlib
+from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+from dismember_tpu.models import din
+from dismember_tpu.train.sampler import TreeSampler
+from dismember_tpu.train.spmd import make_sharded_train_step, padded_num_index
+
+
+@pytest.fixture(scope="module")
+def tiny_tree(tmp_path_factory):
+    ids = np.arange(1, 33)
+    cats = np.zeros(32, dtype=np.int64)
+    sorted_ids, codes = category_sorted_codes(ids, cats)
+    path = str(tmp_path_factory.mktemp("sp") / "tree.bin")
+    write_tree(path, sorted_ids, codes)
+    return ArrayTree.from_file(path)
+
+
+def test_param_spec_rules():
+    params = {
+        "embedding": np.zeros((64, 8)),
+        "mlp1": {"weight": np.zeros((8, 16)), "bias": np.zeros(8)},
+    }
+    spec = meshlib.param_spec(params)
+    assert spec["embedding"] == P(meshlib.MODEL_AXIS, None)
+    assert spec["mlp1"]["weight"] == P()
+    assert spec["mlp1"]["bias"] == P()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_matches_single_device(tiny_tree):
+    tree = tiny_tree
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    num_index = padded_num_index((1 << (tree.max_level + 1)) - 1, mesh)
+    key = jax.random.PRNGKey(0)
+    params = din.init_params(key, num_index, 16)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    sampler = TreeSampler.build(tree, "0,1,2,3,4,5", start_level=1)
+
+    b = 8
+    rng = np.random.default_rng(0)
+    target_codes = jnp.asarray(rng.choice(tree.item_codes, b).astype(np.int32))
+    seq_codes = jnp.asarray(
+        tree.ids_to_codes(rng.integers(1, 33, size=(b, 10)))
+    )
+    kk = jax.random.PRNGKey(1)
+
+    # single-device reference step with identical RNG (computed first: the
+    # sharded step donates its buffers)
+    from dismember_tpu.models.losses import bce_with_logits
+
+    codes, labels, weights = sampler.sample(kk, target_codes)
+
+    def loss_fn(p):
+        return bce_with_logits(din.forward(p, codes, seq_codes), labels, weights)
+
+    expected_loss, grads = jax.value_and_grad(loss_fn)(params)
+    params_host = jax.device_get(params)
+
+    step, sh_params, sh_opt = make_sharded_train_step(
+        din.forward, sampler, optimizer, mesh, params, opt_state
+    )
+    new_params, new_opt, loss = step(sh_params, sh_opt, kk, target_codes, seq_codes)
+    assert np.isfinite(float(loss))
+
+    # embedding stays row-sharded over 'model'
+    emb_shard = new_params["embedding"].sharding
+    assert emb_shard.spec == P(meshlib.MODEL_AXIS, None)
+    params = jax.tree.map(jnp.asarray, params_host)
+    np.testing.assert_allclose(float(loss), float(expected_loss), rtol=1e-5)
+
+    # parameters after one step match the unsharded update
+    updates, _ = optimizer.update(grads, optimizer.init(params), params)
+    expected_params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new_params["mlp1"]["weight"]),
+        np.asarray(expected_params["mlp1"]["weight"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_params["embedding"]),
+        np.asarray(expected_params["embedding"]),
+        rtol=2e-4, atol=1e-6,
+    )
