@@ -1,0 +1,190 @@
+"""Tree construction from learned embeddings: batched recursive clustering.
+
+Semantics parity with tdm/.../cluster/RecursiveCluster.scala:16-211 and
+tdm/src/main/java/com/mass/clustering/SpectralClustering.java:14-71:
+- recursive 2-way split of the item set; children codes 2c+1 / 2c+2;
+- a split runs k-means(k=2) (or spectral embedding + k-means) on the subset,
+  takes centroid 0, sorts items by squared distance to it, and cuts at the
+  midpoint (``balanceTree``: argPartition at n/2) so the tree stays balanced;
+- 2-item sets assign directly (left/right in index order); singletons keep the
+  parent's child code; leaf codes are later sunk to the bottom level by the
+  tree builder;
+- spectral: affinity exp(-||x-y||^2 / (2 sigma^2)), normalized Laplacian
+  D^-1/2 W D^-1/2, top-k eigenvectors, row-unitized, k-means in the projected
+  space (distances to centroid 0 measured there).
+
+TPU-first design (SURVEY.md §2.8 P6): instead of the reference's ForkJoin
+recursion, splitting is *level-synchronous*: every cluster at the current
+depth is padded to a common width and split by one vmapped 2-means — tree
+construction stays on-device as a sequence of O(log N) batched kernels.
+ARPACK's ``syev`` top-k EVD becomes ``jnp.linalg.eigh``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dismember_tpu.index.tree_io import write_tree
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _two_means_batch(x: jnp.ndarray, mask: jnp.ndarray, iters: int):
+    """Batched k-means with k=2.
+
+    x [S, m, E] (padded), mask [S, m] validity.  Returns centroid0 [S, E].
+    Init: centroid0 = first valid point, centroid1 = farthest valid point
+    from it (deterministic k-means++-style seeding).
+    """
+    big = jnp.float32(1e30)
+    inv_mask = ~mask
+
+    first_idx = jnp.argmax(mask, axis=1)  # [S]
+    c0 = jnp.take_along_axis(x, first_idx[:, None, None], axis=1)[:, 0]  # [S, E]
+    d0 = jnp.sum((x - c0[:, None, :]) ** 2, axis=-1)
+    d0 = jnp.where(inv_mask, -big, d0)
+    far_idx = jnp.argmax(d0, axis=1)
+    c1 = jnp.take_along_axis(x, far_idx[:, None, None], axis=1)[:, 0]
+
+    def body(_, carry):
+        c0, c1 = carry
+        d0 = jnp.sum((x - c0[:, None, :]) ** 2, axis=-1)
+        d1 = jnp.sum((x - c1[:, None, :]) ** 2, axis=-1)
+        assign0 = (d0 <= d1) & mask  # [S, m]
+        assign1 = (~(d0 <= d1)) & mask
+        w0 = assign0.astype(x.dtype)
+        w1 = assign1.astype(x.dtype)
+        n0 = jnp.sum(w0, axis=1, keepdims=True)
+        n1 = jnp.sum(w1, axis=1, keepdims=True)
+        new_c0 = jnp.einsum("sm,sme->se", w0, x) / jnp.maximum(n0, 1.0)
+        new_c1 = jnp.einsum("sm,sme->se", w1, x) / jnp.maximum(n1, 1.0)
+        # keep old centroid when a cluster empties
+        new_c0 = jnp.where(n0 > 0, new_c0, c0)
+        new_c1 = jnp.where(n1 > 0, new_c1, c1)
+        return new_c0, new_c1
+
+    c0, c1 = jax.lax.fori_loop(0, iters, body, (c0, c1))
+    return c0
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _distance_rank_batch(x: jnp.ndarray, mask: jnp.ndarray, iters: int):
+    """Run 2-means and return, per cluster, item positions sorted by squared
+    distance to centroid 0 (valid items first).  [S, m] int32."""
+    c0 = _two_means_batch(x, mask, iters)
+    d = jnp.sum((x - c0[:, None, :]) ** 2, axis=-1)
+    d = jnp.where(mask, d, jnp.float32(1e30))
+    return jnp.argsort(d, axis=1)
+
+
+def _spectral_project(x: np.ndarray, sigma: float = 1.0, k: int = 2) -> np.ndarray:
+    """Spectral embedding of one cluster (host->device eigh).
+
+    Mirrors SpectralClustering.fit/fitMatrix: Gaussian affinity (zero
+    diagonal), symmetric normalization, top-k eigenvectors of the normalized
+    affinity (largest algebraic), rows unitized.
+    """
+    xj = jnp.asarray(x)
+    sq = jnp.sum((xj[:, None, :] - xj[None, :, :]) ** 2, axis=-1)
+    w = jnp.exp(-0.5 / (sigma * sigma) * sq)
+    w = w - jnp.diag(jnp.diag(w))  # the reference leaves W[i,i] = 0
+    d = jnp.sum(w, axis=1)
+    dinv = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
+    m = w * dinv[:, None] * dinv[None, :]
+    _, vecs = jnp.linalg.eigh(m)  # ascending
+    proj = vecs[:, -k:]  # top-k eigenvectors
+    norms = jnp.linalg.norm(proj, axis=1, keepdims=True)
+    proj = proj / jnp.maximum(norms, 1e-12)
+    return np.asarray(proj)
+
+
+def tree_cluster(
+    ids: np.ndarray,
+    embeddings: np.ndarray,
+    cluster_iter: int = 10,
+    cluster_type: str = "kmeans",
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assign tree codes to items by recursive balanced clustering.
+
+    Returns (ids, codes) ready for :func:`write_tree`.
+    """
+    if cluster_type not in ("kmeans", "spectral"):
+        raise ValueError("cluster_type must be one of ('kmeans', 'spectral')")
+    n = len(ids)
+    embeddings = np.asarray(embeddings, dtype=np.float32)
+    codes = np.zeros(n, dtype=np.int64)
+    # clusters at the current level: (code, item positions)
+    clusters: list[tuple[int, np.ndarray]] = [(0, np.arange(n))]
+
+    while clusters:
+        next_clusters: list[tuple[int, np.ndarray]] = []
+        to_split: list[tuple[int, np.ndarray]] = []
+        for code, idx in clusters:
+            if len(idx) == 1:
+                codes[idx[0]] = code
+            elif len(idx) == 2:
+                codes[idx[0]] = 2 * code + 1
+                codes[idx[1]] = 2 * code + 2
+            else:
+                to_split.append((code, idx))
+        if not to_split:
+            break
+
+        if cluster_type == "spectral":
+            # per-cluster projection (matrix sizes vary); batch the 2-means
+            feats = [_spectral_project(embeddings[idx]) for _, idx in to_split]
+        else:
+            feats = [embeddings[idx] for _, idx in to_split]
+
+        m = max(len(idx) for _, idx in to_split)
+        e = feats[0].shape[1]
+        s = len(to_split)
+        x = np.zeros((s, m, e), dtype=np.float32)
+        mask = np.zeros((s, m), dtype=bool)
+        for i, f in enumerate(feats):
+            x[i, : len(f)] = f
+            mask[i, : len(f)] = True
+        order = np.asarray(
+            _distance_rank_batch(jnp.asarray(x), jnp.asarray(mask), cluster_iter)
+        )
+        for i, (code, idx) in enumerate(to_split):
+            ranked = idx[order[i, : len(idx)]]
+            mid = len(idx) // 2
+            next_clusters.append((2 * code + 1, ranked[:mid]))
+            next_clusters.append((2 * code + 2, ranked[mid:]))
+        clusters = next_clusters
+
+    return np.asarray(ids), codes
+
+
+def read_embeddings_csv(path: str, delimiter: str = ",") -> tuple[np.ndarray, np.ndarray]:
+    """Read the ``id, e1, ..., ed`` embeddings CSV written by the trainer
+    (RecursiveCluster.readFile parity)."""
+    ids: list[int] = []
+    vecs: list[list[float]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(delimiter)
+            if len(parts) < 2:
+                continue
+            ids.append(int(parts[0].strip()))
+            vecs.append([float(p) for p in parts[1:]])
+    return np.asarray(ids, dtype=np.int64), np.asarray(vecs, dtype=np.float32)
+
+
+def cluster_tree_from_embeddings(
+    embed_path: str,
+    output_tree_path: str,
+    cluster_iter: int = 10,
+    cluster_type: str = "kmeans",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The ``tdm-cluster-tree`` stage: embeddings CSV -> re-clustered pb tree
+    (examples/.../tdm/TDMClusterTree.scala flow)."""
+    ids, embeds = read_embeddings_csv(embed_path)
+    ids, codes = tree_cluster(ids, embeds, cluster_iter, cluster_type)
+    write_tree(output_tree_path, ids, codes)
+    return ids, codes

@@ -1,0 +1,351 @@
+"""OTM training: beam-search-aware optimal pseudo-targets, per-level BCE.
+
+Reference (otm/.../optim/LocalOptimizer.scala:18-274, tree/OTMTree.scala):
+per batch, with *frozen* parameters, compute (a) the per-level target node
+sets — either bottom-up optimal pseudo-targets (Algorithm 1 of arXiv
+2006.15408) or plain ancestor targets — and (b) the per-level beam-search
+trajectories; then, level by level (top-down), run one BCE-with-logits
+gradient step on (beam nodes, level targets).  The per-level optimizer steps
+are inherently sequential; each is one jit here.
+
+TPU-first: the reference's per-thread Scala lists become fixed-shape device
+arrays: beam trajectories [n_levels, B, 2*beam], target sets [n_levels, B, J]
+(-1 padded).  The bottom-up parent reduction (group-by-parent + label sum +
+clip, OTMTree.computeTargets:104-129) is a row-wise sort + equality-matrix
+segment sum — J = label_num is tiny, so the O(J^2) mask matmul is free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dismember_tpu.data.otm_dataset import OTMData, lower_log2, upper_log2
+from dismember_tpu.models import deepfm, din
+from dismember_tpu.models.losses import bce_with_logits
+
+logger = logging.getLogger("dismember_tpu.otm")
+
+_NEG_INF = jnp.float32(-3.4e38)
+_INT_MAX = jnp.int32(2**31 - 1)
+
+
+@dataclasses.dataclass
+class OTMEvalResult:
+    loss: float = 0.0
+    precision: float = 0.0
+    recall: float = 0.0
+    ndcg: float = 0.0
+
+    def __str__(self) -> str:
+        return (
+            f"{{precision: {self.precision:.6f}, recall: {self.recall:.6f}, "
+            f"ndcg: {self.ndcg:.6f}}}"
+        )
+
+
+def _row_group_parents(parents: jnp.ndarray, values: jnp.ndarray):
+    """Group duplicate parent ids within each row, summing their labels.
+
+    parents/values: [B, J]; invalid ids < 0.  Returns (ids [B, J], labels
+    [B, J]) where each distinct parent appears once (label clipped to [0,1],
+    mirroring ``clipValue``) and remaining slots are -1.
+    """
+    key = jnp.where(parents < 0, _INT_MAX, parents)
+    order = jnp.argsort(key, axis=1)
+    ps = jnp.take_along_axis(key, order, axis=1)
+    vs = jnp.take_along_axis(values, order, axis=1)
+    eq = ps[:, :, None] == ps[:, None, :]
+    sums = jnp.einsum("bjk,bk->bj", eq.astype(vs.dtype), vs)
+    first = jnp.concatenate(
+        [jnp.ones_like(ps[:, :1], bool), ps[:, 1:] != ps[:, :-1]], axis=1
+    )
+    valid = ps != _INT_MAX
+    keep = first & valid
+    new_ids = jnp.where(keep, ps, -1)
+    new_labels = jnp.where(keep, jnp.clip(sums, 0.0, 1.0), 0.0)
+    return new_ids, new_labels
+
+
+class OTMTrainer:
+    def __init__(
+        self,
+        data: OTMData,
+        model_type: str = "din",
+        embed_size: int = 16,
+        learning_rate: float = 3e-3,
+        total_train_batch_size: int = 8192,
+        total_eval_batch_size: int = 8192,
+        beam_size: int = 20,
+        topk: int = 10,
+        seq_len: int = 10,
+        target_mode: str = "pseudo",
+        seed: int = 42,
+    ):
+        self.data = data
+        self.model_type = model_type
+        self.embed_size = embed_size
+        self.beam = beam_size
+        self.topk = topk
+        self.seq_len = seq_len
+        self.target_mode = target_mode
+        self.seed = seed
+        self.start_level = lower_log2(beam_size)
+        self.leaf_level = upper_log2(data.num_items)
+        self.n_levels = self.leaf_level - self.start_level
+        self.label_num = data.train_labels.shape[1]
+        self.train_batch_size = max(1, total_train_batch_size // (beam_size * 2))
+        self.eval_batch_size = max(1, total_eval_batch_size // (beam_size * 2))
+
+        num_index = data.num_tree_nodes
+        key = jax.random.PRNGKey(seed)
+        if model_type == "din":
+            self.params = din.init_params(key, num_index, embed_size)
+            self.forward = din.forward
+        elif model_type == "deepfm":
+            self.params = deepfm.init_params(key, num_index, embed_size, seq_len)
+            self.forward = deepfm.forward
+        else:
+            raise ValueError(f"unknown deep model: {model_type}")
+        self.optimizer = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self._beam_traj = jax.jit(self._beam_trajectory)
+        self._pseudo = jax.jit(self._pseudo_targets)
+        self._level_step = jax.jit(self._level_step_impl, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _beam_trajectory(self, params, seqs):
+        """Frozen-model beam trajectories (OTMTree.beamSearchNodes).
+
+        Returns (nodes [n_levels, B, 2*beam], scores [...]) with -1/-inf pads.
+        """
+        b = seqs.shape[0]
+        width = 2 * self.beam
+        s = self.start_level
+        start_lo, start_hi = (1 << s) - 1, (1 << (s + 1)) - 1
+        init = np.arange(start_lo, start_hi, dtype=np.int32)
+        children0 = np.stack([2 * init + 1, 2 * init + 2], -1).reshape(-1)
+        pad = np.full(width - len(children0), -1, dtype=np.int32)
+        first = jnp.asarray(np.concatenate([children0, pad]))
+        nodes = jnp.broadcast_to(first, (b, width))
+        valid = nodes >= 0
+        logits = self.forward(params, jnp.where(valid, nodes, -1), seqs)
+        scores = jnp.where(valid, logits, _NEG_INF)
+        all_nodes, all_scores = [nodes], [scores]
+        for _ in range(1, self.n_levels):
+            _, top_idx = jax.lax.top_k(scores, self.beam)
+            top_codes = jnp.take_along_axis(nodes, top_idx, axis=1)
+            nodes = jnp.stack([2 * top_codes + 1, 2 * top_codes + 2], -1).reshape(
+                b, width
+            )
+            logits = self.forward(params, nodes, seqs)
+            scores = logits
+            all_nodes.append(nodes)
+            all_scores.append(scores)
+        return jnp.stack(all_nodes), jnp.stack(all_scores)
+
+    def _pseudo_targets(self, params, seqs, target_items):
+        """Bottom-up optimal pseudo targets (OTMTree.optimalPseudoTargets).
+
+        target_items [B, J] leaf codes (-1 pad).  Returns (ids, labels) each
+        [n_levels, B, J]; index i <-> tree level start_level+1+i.
+        """
+        ids = target_items.astype(jnp.int32)
+        labels = (ids >= 0).astype(jnp.float32)
+        out_ids, out_labels = [ids], [labels]
+        for _ in range(self.n_levels - 1):
+            valid = ids >= 0
+            sib = jnp.where(ids % 2 == 1, ids + 1, ids - 1)
+            sib = jnp.where(valid, sib, -1)
+            # sibling's current label when the sibling is also a target node
+            eq = ids[:, None, :] == jnp.where(valid, sib, -2)[:, :, None]
+            sib_label = jnp.einsum("bjk,bk->bj", eq.astype(labels.dtype), labels)
+            pos_pred = self.forward(params, ids, seqs)
+            neg_pred = self.forward(params, sib, seqs)
+            contrib = jnp.where(pos_pred >= neg_pred, labels, sib_label)
+            contrib = jnp.where(valid, contrib, 0.0)
+            parents = jnp.where(valid, (ids - 1) >> 1, -1)
+            ids, labels = _row_group_parents(parents, contrib)
+            out_ids.append(ids)
+            out_labels.append(labels)
+        # built bottom-up: reverse so index 0 = level start_level+1
+        return jnp.stack(out_ids[::-1]), jnp.stack(out_labels[::-1])
+
+    def _normal_targets(self, target_items: np.ndarray):
+        """Plain ancestor targets (OTMTree.normalTargets): the ancestor of
+        each target at every level, label 1."""
+        ids_levels = []
+        labels_levels = []
+        cur = target_items.astype(np.int64)
+        for _ in range(self.n_levels):
+            ids_levels.append(cur.copy())
+            labels_levels.append((cur >= 0).astype(np.float32))
+            cur = np.where(cur >= 0, (cur - 1) >> 1, -1)
+        ids = np.stack(ids_levels[::-1]).astype(np.int32)
+        labels = np.stack(labels_levels[::-1])
+        return jnp.asarray(ids), jnp.asarray(labels)
+
+    def _level_step_impl(self, params, opt_state, nodes, t_ids, t_labels, seqs):
+        """One BCE step on (beam nodes, level targets)."""
+        valid = nodes >= 0
+        eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
+        labels = jnp.clip(
+            jnp.einsum("bwj,bj->bw", eq.astype(jnp.float32), t_labels), 0.0, 1.0
+        )
+        weights = valid.astype(jnp.float32)
+
+        def loss_fn(p):
+            logits = self.forward(p, jnp.where(valid, nodes, -1), seqs)
+            return bce_with_logits(logits, labels, weights)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = self.optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    # ------------------------------------------------------------------
+    def train(self, num_epochs: int, progress_interval: int = 0) -> list[dict]:
+        d = self.data
+        n = len(d.train_seqs)
+        rng = np.random.default_rng(self.seed)
+        logs: list[dict] = []
+        for epoch in range(1, num_epochs + 1):
+            perm = rng.permutation(n)
+            epoch_losses: list[list[float]] = []
+            t0 = time.perf_counter()
+            num_batches = math.ceil(n / self.train_batch_size)
+            for bi in range(num_batches):
+                idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
+                seqs = jnp.asarray(d.train_seqs[idx], dtype=jnp.int32)
+                targets = jnp.asarray(d.train_labels[idx], dtype=jnp.int32)
+                if self.target_mode == "pseudo":
+                    t_ids, t_labels = self._pseudo(self.params, seqs, targets)
+                else:
+                    t_ids, t_labels = self._normal_targets(d.train_labels[idx])
+                nodes, _scores = self._beam_traj(self.params, seqs)
+                level_losses = []
+                for li in range(self.n_levels):
+                    self.params, self.opt_state, loss = self._level_step(
+                        self.params,
+                        self.opt_state,
+                        nodes[li],
+                        t_ids[li],
+                        t_labels[li],
+                        seqs,
+                    )
+                    level_losses.append(float(loss))
+                epoch_losses.append(level_losses)
+                if progress_interval > 0 and (bi + 1) % progress_interval == 0:
+                    logger.info(
+                        f"Epoch {epoch} iter {bi + 1}/{num_batches} "
+                        f"loss(last level): {level_losses[-1]:.4f}"
+                    )
+            ev = self.evaluate()
+            logs.append(
+                {
+                    "epoch": epoch,
+                    "time": time.perf_counter() - t0,
+                    "level_losses": [
+                        float(np.mean([l[i] for l in epoch_losses]))
+                        for i in range(self.n_levels)
+                    ],
+                    "eval_loss": ev.loss,
+                    "precision": ev.precision,
+                    "recall": ev.recall,
+                    "ndcg": ev.ndcg,
+                }
+            )
+            logger.info(
+                f"Epoch {epoch} time {logs[-1]['time']:.1f}s "
+                f"losses {['%.4f' % x for x in logs[-1]['level_losses']]} "
+                f"eval loss {ev.loss:.4f} metrics {ev}"
+            )
+        return logs
+
+    # ------------------------------------------------------------------
+    def batch_beam_search(self, seqs: np.ndarray):
+        """Final-level candidates [B, 2*beam] (codes) + scores."""
+        nodes, scores = self._beam_traj(self.params, jnp.asarray(seqs, jnp.int32))
+        return np.asarray(nodes[-1]), np.asarray(scores[-1])
+
+    def recommend_batch(
+        self,
+        seqs: np.ndarray,
+        topk: int | None = None,
+        consumed: list[np.ndarray] | None = None,
+        return_codes: bool = False,
+        with_scores: bool = False,
+    ):
+        """Top-k per row; candidates filtered to existing leaves (allNodes)
+        and non-consumed (otm Evaluator.scala:58-66)."""
+        k = topk or self.topk
+        nodes, scores = self.batch_beam_search(seqs)
+        out = []
+        all_nodes = self.data.all_nodes
+        for i in range(len(nodes)):
+            ids, sc = nodes[i], scores[i].copy()
+            ok = (ids >= 0) & (ids < len(all_nodes))
+            ok &= np.where(ok, all_nodes[np.clip(ids, 0, len(all_nodes) - 1)], False)
+            if consumed is not None and len(consumed[i]) > 0:
+                ok &= ~np.isin(ids, consumed[i])
+            idx = np.flatnonzero(ok)
+            order = idx[np.argsort(-sc[idx], kind="stable")][:k]
+            codes = ids[order]
+            if return_codes:
+                out.append((codes, sc[order]) if with_scores else codes)
+            else:
+                items = np.asarray(
+                    [self.data.code_to_item[int(c)] for c in codes], dtype=np.int64
+                )
+                out.append((items, sc[order]) if with_scores else items)
+        return out
+
+    def evaluate(self) -> OTMEvalResult:
+        """Eval parity with otm Evaluator.evaluate: beam search per eval
+        sample, consumed+validity filter, top-k; loss = summed BCE of top-k
+        scores against membership labels / eval size; metrics averaged."""
+        d = self.data
+        m = len(d.eval_seqs)
+        if m == 0:
+            return OTMEvalResult()
+        total_loss = 0.0
+        prec = rec = ndcg = 0.0
+        for s in range(0, m, self.eval_batch_size):
+            e = min(s + self.eval_batch_size, m)
+            consumed = [
+                d.user_consumed.get(int(u), np.empty(0, np.int64))
+                for u in d.eval_users[s:e]
+            ]
+            results = self.recommend_batch(
+                d.eval_seqs[s:e],
+                topk=self.topk,
+                consumed=consumed,
+                return_codes=True,
+                with_scores=True,
+            )
+            for i, (codes, scores) in enumerate(results):
+                labels_row = d.eval_labels[s + i]
+                labels_row = labels_row[labels_row >= 0]
+                is_pos = np.isin(codes, labels_row).astype(np.float64)
+                x = scores.astype(np.float64)
+                total_loss += float(
+                    np.sum(np.maximum(x, 0) - x * is_pos + np.log1p(np.exp(-np.abs(x))))
+                )
+                from dismember_tpu.core.metrics import compute_metrics
+
+                p, r, nd = compute_metrics(codes, labels_row)
+                prec += p
+                rec += r
+                ndcg += nd
+        return OTMEvalResult(
+            loss=total_loss / m, precision=prec / m, recall=rec / m, ndcg=ndcg / m
+        )

@@ -1,0 +1,141 @@
+"""OTM tests: mapping/dataset invariants, pseudo targets, end-to-end train."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dismember_tpu.data.otm_dataset import (
+    all_nodes_bitmap,
+    build_otm_data,
+    load_mapping,
+    save_mapping,
+    upper_log2,
+)
+from dismember_tpu.train.otm import OTMTrainer, _row_group_parents
+
+
+@pytest.fixture(scope="module")
+def otm_data(small_csv):
+    return build_otm_data(
+        small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8,
+        leaf_init_mode="random", label_num=5, seed=42,
+    )
+
+
+def test_mapping_invariants(otm_data):
+    d = otm_data
+    leaf_level = upper_log2(d.num_items)
+    lo, hi = (1 << leaf_level) - 1, (1 << (leaf_level + 1)) - 1
+    codes = np.asarray(sorted(d.code_to_item))
+    assert len(codes) == d.num_items
+    assert (codes >= lo).all() and (codes < hi).all()
+    # bijection
+    assert len(set(d.item_to_code.values())) == d.num_items
+    for item, code in list(d.item_to_code.items())[:50]:
+        assert d.code_to_item[code] == item
+
+
+def test_sample_shapes(otm_data):
+    d = otm_data
+    assert d.train_seqs.shape[1] == 10
+    assert d.train_labels.shape == (len(d.train_seqs), 5)
+    # every valid label/seq entry is a mapped code or -1
+    valid = d.train_labels[d.train_labels >= 0]
+    assert np.isin(valid, np.asarray(sorted(d.code_to_item))).all()
+    # each train sample has at least 1 label
+    assert (d.train_labels[:, 0] >= 0).all()
+
+
+def test_all_nodes_bitmap():
+    codes = np.array([7, 8, 10])
+    bm = all_nodes_bitmap(codes, 3)
+    # ancestors of 7: 3, 1, 0; of 8: 3, 1, 0; of 10: 4, 1, 0
+    for c in [7, 8, 10, 3, 4, 1, 0]:
+        assert bm[c]
+    assert not bm[2] and not bm[9]
+
+
+def test_mapping_file_roundtrip(otm_data, tmp_path):
+    p = str(tmp_path / "mapping.txt")
+    save_mapping(p, otm_data.item_to_code)
+    fwd, rev = load_mapping(p)
+    assert fwd == otm_data.item_to_code
+
+
+def test_row_group_parents():
+    parents = jnp.array([[3, 3, 5, -1, -1]])
+    values = jnp.array([[0.6, 0.7, 1.0, 0.0, 0.0]])
+    ids, labels = jax.device_get(_row_group_parents(parents, values))
+    got = {int(i): float(l) for i, l in zip(ids[0], labels[0]) if i >= 0}
+    assert got == {3: 1.0, 5: 1.0}  # 0.6+0.7 clipped to 1.0
+
+    parents = jnp.array([[4, 6, 4, -1, 8]])
+    values = jnp.array([[0.2, 0.3, 0.4, 0.0, 0.1]])
+    ids, labels = jax.device_get(_row_group_parents(parents, values))
+    got = {int(i): round(float(l), 5) for i, l in zip(ids[0], labels[0]) if i >= 0}
+    assert got == {4: np.float32(0.2 + 0.4).round(5), 6: 0.3, 8: np.float32(0.1).round(5)}
+
+
+@pytest.fixture(scope="module")
+def tiny_otm(small_csv):
+    # tiny but real data; small beam keeps levels cheap
+    return build_otm_data(
+        small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8,
+        leaf_init_mode="category", label_num=3, seed=1,
+    )
+
+
+def test_pseudo_targets_structure(tiny_otm):
+    d = tiny_otm
+    tr = OTMTrainer(d, embed_size=8, beam_size=4, total_train_batch_size=64, seed=0)
+    seqs = jnp.asarray(d.train_seqs[:6], jnp.int32)
+    targets = jnp.asarray(d.train_labels[:6], jnp.int32)
+    t_ids, t_labels = jax.device_get(tr._pseudo(tr.params, seqs, targets))
+    assert t_ids.shape == (tr.n_levels, 6, 3)
+    # bottom level (last index) must be the targets themselves
+    np.testing.assert_array_equal(t_ids[-1], d.train_labels[:6])
+    # level of each valid id must match its position in the list
+    for li in range(tr.n_levels):
+        level = tr.start_level + 1 + li
+        ids = t_ids[li][t_ids[li] >= 0]
+        levels = np.floor(np.log2(ids + 1)).astype(int)
+        assert (levels == level).all()
+        # labels in [0, 1]
+        assert (t_labels[li] >= 0).all() and (t_labels[li] <= 1).all()
+    # each valid target id at level l-1 is the parent of some id at level l
+    for li in range(1, tr.n_levels):
+        child_parents = set(((t_ids[li][t_ids[li] >= 0] - 1) >> 1).tolist())
+        up = set(t_ids[li - 1][t_ids[li - 1] >= 0].tolist())
+        assert up <= child_parents
+
+
+def test_normal_targets(tiny_otm):
+    d = tiny_otm
+    tr = OTMTrainer(d, embed_size=8, beam_size=4, target_mode="normal")
+    t_ids, t_labels = jax.device_get(tr._normal_targets(d.train_labels[:4]))
+    np.testing.assert_array_equal(t_ids[-1], d.train_labels[:4])
+    # ancestors chain up correctly
+    expect = np.where(
+        d.train_labels[:4] >= 0, (d.train_labels[:4] - 1) >> 1, -1
+    )
+    np.testing.assert_array_equal(t_ids[-2], expect)
+
+
+def test_otm_end_to_end(tiny_otm):
+    d = tiny_otm
+    tr = OTMTrainer(
+        d, embed_size=8, learning_rate=3e-3, total_train_batch_size=512,
+        total_eval_batch_size=512, beam_size=10, topk=5, target_mode="pseudo", seed=3,
+    )
+    logs = tr.train(num_epochs=1)
+    assert len(logs) == 1
+    assert np.isfinite(logs[0]["eval_loss"])
+    assert all(np.isfinite(x) for x in logs[0]["level_losses"])
+
+    recs = tr.recommend_batch(d.eval_seqs[:4], topk=5)
+    for r in recs:
+        assert len(r) <= 5
+        assert len(np.unique(r)) == len(r)
+        # recommendations are raw item ids
+        assert all(int(x) in d.item_to_code for x in r)
