@@ -1,0 +1,292 @@
+"""Deep Retrieval E-step training, evaluation and serving.
+
+Reference (deep-retrieval/.../optim/LocalOptimizer.scala:19-269): per batch,
+(a) the layer model trains on (sample x path) rows with a D-vector of softmax
+cross-entropies — thread-parallel clones + sliced gradient sync + Adam — and
+(b) the rerank model trains with SampledSoftmaxLoss whose embedded Adam
+updates the softmax projection.  Here both collapse into two jitted steps:
+the layer step optimizes the *sum* of the D losses (identical gradient to the
+reference's per-head backward accumulation) and the rerank step treats the
+softmax projection as ordinary parameter leaves (see models/dr_models.py).
+
+Serving (DeepRetrieval.recommend:26-46): path beam search -> union of items
+on the top paths (deduplicated here — the reference keeps duplicates when an
+item sits on several retrieved paths) -> rerank scores -> top-k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dismember_tpu.core.metrics import compute_metrics
+from dismember_tpu.data.dr_dataset import DRData
+from dismember_tpu.index.paths import PathIndex
+from dismember_tpu.models import dr_models
+from dismember_tpu.models.losses import cross_entropy
+from dismember_tpu.retrieval.path_beam import path_beam_search
+
+logger = logging.getLogger("dismember_tpu.dr")
+
+
+@dataclasses.dataclass
+class DREvalResult:
+    layer_loss: list[float]
+    rerank_loss: float
+    precision: float
+    recall: float
+    ndcg: float
+
+    def __str__(self) -> str:
+        ll = ", ".join(f"{x:.4f}" for x in self.layer_loss)
+        return (
+            f"{{layer loss: [{ll}], rerank loss: {self.rerank_loss:.4f}, "
+            f"precision: {self.precision:.6f}, recall: {self.recall:.6f}, "
+            f"ndcg: {self.ndcg:.6f}}}"
+        )
+
+
+class DRTrainer:
+    def __init__(
+        self,
+        data: DRData,
+        num_layers: int = 3,
+        num_nodes: int = 100,
+        num_paths_per_item: int = 2,
+        embed_size: int = 16,
+        learning_rate: float = 3e-3,
+        train_batch_size: int = 8192,
+        eval_batch_size: int = 8192,
+        num_sampled: int = 1,
+        topk: int = 10,
+        beam_size: int = 20,
+        seq_len: int = 10,
+        seed: int = 0,
+        path_index: PathIndex | None = None,
+    ):
+        self.data = data
+        self.num_layers = num_layers
+        self.num_nodes = num_nodes
+        self.num_paths = num_paths_per_item
+        self.topk = topk
+        self.beam = beam_size
+        self.num_sampled = num_sampled
+        self.seed = seed
+        self.num_targets_per_batch = max(1, train_batch_size // num_paths_per_item)
+        self.eval_targets_per_batch = max(1, eval_batch_size // num_paths_per_item)
+        self.path_index = path_index or PathIndex.random_init(
+            data.num_items, num_layers, num_nodes, num_paths_per_item, seed
+        )
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.layer_params = dr_models.init_layer_params(
+            k1, data.num_items, num_nodes, num_layers, seq_len, embed_size
+        )
+        self.rerank_params = dr_models.init_rerank_params(
+            k2, data.num_items, seq_len, embed_size
+        )
+        self.layer_opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        self.rerank_opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        self.layer_opt_state = self.layer_opt.init(self.layer_params)
+        self.rerank_opt_state = self.rerank_opt.init(self.rerank_params)
+
+        self._layer_step = jax.jit(self._layer_step_impl, donate_argnums=(0, 1))
+        self._rerank_step = jax.jit(self._rerank_step_impl, donate_argnums=(0, 1))
+        self._layer_losses = jax.jit(self._layer_losses_impl)
+        self._rerank_full_loss = jax.jit(
+            lambda p, seqs, labels: dr_models.full_softmax_loss(
+                p, dr_models.rerank_user_vector(p, seqs), labels
+            )
+        )
+        self._user_vec = jax.jit(dr_models.rerank_user_vector)
+
+    # ------------------------------------------------------------------
+    def _layer_losses_of(self, params, seqs, paths):
+        logits = dr_models.layer_forward_training(
+            params, seqs, paths, self.data.num_items, self.num_nodes
+        )
+        losses = []
+        for d in range(self.num_layers):
+            flat = logits[d].reshape(-1, self.num_nodes)
+            labels = paths[:, :, d].reshape(-1)
+            losses.append(cross_entropy(flat, labels))
+        return jnp.stack(losses)
+
+    def _layer_losses_impl(self, params, seqs, paths):
+        return self._layer_losses_of(params, seqs, paths)
+
+    def _layer_step_impl(self, params, opt_state, seqs, paths):
+        def loss_fn(p):
+            losses = self._layer_losses_of(p, seqs, paths)
+            return jnp.sum(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = self.layer_opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, losses
+
+    def _rerank_step_impl(self, params, opt_state, key, seqs, labels):
+        def loss_fn(p):
+            vec = dr_models.rerank_user_vector(p, seqs)
+            return dr_models.sampled_softmax_loss(
+                p, vec, labels, key, self.num_sampled
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = self.rerank_opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    # ------------------------------------------------------------------
+    def train(self, num_epochs: int, progress_interval: int = 0) -> list[DREvalResult]:
+        d = self.data
+        n = len(d.train_seqs)
+        rng = np.random.default_rng(self.seed)
+        key = jax.random.PRNGKey(self.seed + 1)
+        results: list[DREvalResult] = []
+        self.train_loss_log: list[dict] = []
+        bsz = self.num_targets_per_batch
+        for epoch in range(1, num_epochs + 1):
+            perm = rng.permutation(n)
+            t0 = time.perf_counter()
+            it = 0
+            epoch_layer = np.zeros(self.num_layers)
+            epoch_rerank = 0.0
+            for s in range(0, n, bsz):
+                idx = perm[s : s + bsz]
+                seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
+                targets = d.train_targets[idx]
+                paths = jnp.asarray(self.path_index.item_paths[targets], jnp.int32)
+                self.layer_params, self.layer_opt_state, losses = self._layer_step(
+                    self.layer_params, self.layer_opt_state, seqs, paths
+                )
+                key, sub = jax.random.split(key)
+                self.rerank_params, self.rerank_opt_state, rloss = self._rerank_step(
+                    self.rerank_params,
+                    self.rerank_opt_state,
+                    sub,
+                    seqs,
+                    jnp.asarray(targets, jnp.int32),
+                )
+                it += 1
+                epoch_layer += np.asarray(losses)
+                epoch_rerank += float(rloss)
+                if progress_interval > 0 and it % progress_interval == 0:
+                    ll = ", ".join(f"{float(x):.4f}" for x in losses)
+                    logger.info(
+                        f"Epoch {epoch} iter {it}: layer loss [{ll}], "
+                        f"rerank loss {float(rloss):.4f}"
+                    )
+            self.train_loss_log.append(
+                {
+                    "layer_loss": (epoch_layer / max(it, 1)).tolist(),
+                    "rerank_loss": epoch_rerank / max(it, 1),
+                }
+            )
+            ev = self.evaluate()
+            logger.info(
+                f"Epoch {epoch} time {time.perf_counter() - t0:.1f}s metrics {ev}"
+            )
+            results.append(ev)
+        return results
+
+    # ------------------------------------------------------------------
+    def beam_search_paths(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        paths, probs = path_beam_search(
+            self.layer_params,
+            jnp.asarray(seqs, jnp.int32),
+            self.beam,
+            self.data.num_items,
+            self.num_nodes,
+            self.num_layers,
+        )
+        return np.asarray(paths), np.asarray(probs)
+
+    def recommend_batch(
+        self,
+        seqs: np.ndarray,
+        topk: int | None = None,
+        consumed: list[np.ndarray] | None = None,
+        path_to_items: dict[tuple, list[int]] | None = None,
+    ) -> list[np.ndarray]:
+        k = topk or self.topk
+        p2i = path_to_items if path_to_items is not None else self.path_index.path_to_items()
+        paths, _probs = self.beam_search_paths(seqs)
+        user_vecs = np.asarray(self._user_vec(self.rerank_params, jnp.asarray(seqs, jnp.int32)))
+        sw = np.asarray(self.rerank_params["softmax_w"])
+        sb = np.asarray(self.rerank_params["softmax_b"])
+        out: list[np.ndarray] = []
+        for i in range(len(seqs)):
+            cands: list[int] = []
+            seen: set[int] = set()
+            for path in paths[i]:
+                for item in p2i.get(tuple(int(x) for x in path), ()):  # noqa: B905
+                    if item not in seen:
+                        seen.add(item)
+                        cands.append(item)
+            if consumed is not None and len(consumed[i]) > 0:
+                cset = set(int(x) for x in consumed[i])
+                cands = [c for c in cands if c not in cset]
+            if not cands:
+                out.append(np.empty(0, np.int64))
+                continue
+            carr = np.asarray(cands, dtype=np.int64)
+            scores = sw[carr] @ user_vecs[i] + sb[carr]
+            order = np.argsort(-scores, kind="stable")[:k]
+            out.append(carr[order])
+        return out
+
+    def evaluate(self) -> DREvalResult:
+        """Eval parity with dr Evaluator.evaluate: per-batch layer CE vector +
+        exact-softmax rerank loss + per-user recommend metrics."""
+        d = self.data
+        m = len(d.eval_seqs)
+        if m == 0:
+            return DREvalResult([0.0] * self.num_layers, 0.0, 0.0, 0.0, 0.0)
+        p2i = self.path_index.path_to_items()
+        layer_loss = np.zeros(self.num_layers)
+        rerank_loss = 0.0
+        prec = rec = ndcg = 0.0
+        count = 0
+        bsz = self.eval_targets_per_batch
+        for s in range(0, m, bsz):
+            e = min(s + bsz, m)
+            seqs_np = d.eval_seqs[s:e]
+            seqs = jnp.asarray(seqs_np, jnp.int32)
+            targets = d.eval_labels[s:e, 0]
+            paths = jnp.asarray(self.path_index.item_paths[targets], jnp.int32)
+            layer_loss += np.asarray(
+                self._layer_losses(self.layer_params, seqs, paths)
+            ) * (e - s)
+            rerank_loss += float(
+                self._rerank_full_loss(
+                    self.rerank_params, seqs, jnp.asarray(targets, jnp.int32)
+                )
+            ) * (e - s)
+            consumed = [
+                d.user_consumed.get(int(u), np.empty(0, np.int64))
+                for u in d.eval_users[s:e]
+            ]
+            recs = self.recommend_batch(
+                seqs_np, topk=self.topk, consumed=consumed, path_to_items=p2i
+            )
+            for i, r in enumerate(recs):
+                labels = d.eval_labels[s + i]
+                p, rcl, nd = compute_metrics(r, labels[labels >= 0])
+                prec += p
+                rec += rcl
+                ndcg += nd
+            count += e - s
+        return DREvalResult(
+            layer_loss=(layer_loss / count).tolist(),
+            rerank_loss=rerank_loss / count,
+            precision=prec / count,
+            recall=rec / count,
+            ndcg=ndcg / count,
+        )

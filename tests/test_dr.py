@@ -1,0 +1,176 @@
+"""Deep Retrieval tests: dataset, path index, models, beam search, training,
+coordinate descent (DeepRetrievalSpec / CoordinateDescentSpec parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dismember_tpu.data.dr_dataset import build_dr_data
+from dismember_tpu.index.paths import PathIndex
+from dismember_tpu.models import dr_models
+from dismember_tpu.retrieval.path_beam import path_beam_search
+from dismember_tpu.train.dr import DRTrainer
+from dismember_tpu.train.dr_coordinate import coordinate_descent
+
+
+@pytest.fixture(scope="module")
+def dr_data(small_csv):
+    return build_dr_data(small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8)
+
+
+def test_dataset_invariants(dr_data):
+    d = dr_data
+    assert d.num_items == len(d.item_to_id)
+    # dense ids are 0..num_items-1
+    assert set(d.item_to_id.values()) == set(range(d.num_items))
+    # all targets valid dense ids
+    assert (d.train_targets >= 0).all() and (d.train_targets < d.num_items).all()
+    # seq entries are dense ids or -1
+    assert (d.train_seqs >= -1).all() and (d.train_seqs < d.num_items).all()
+    # eval labels exclude consumed
+    for i in range(min(20, len(d.eval_users))):
+        u = int(d.eval_users[i])
+        labels = d.eval_labels[i]
+        labels = labels[labels >= 0]
+        assert not (set(labels.tolist()) & set(d.user_consumed[u].tolist()))
+
+
+def test_path_index_roundtrip(tmp_path, dr_data):
+    idx = PathIndex.random_init(dr_data.num_items, 3, 50, 2, seed=1)
+    p = str(tmp_path / "mapping.bin")
+    idx.write(p, dr_data.item_to_id)
+    idx2, mapping2 = PathIndex.read(p, num_nodes=50)
+    np.testing.assert_array_equal(idx.item_paths, idx2.item_paths)
+    assert mapping2 == dr_data.item_to_id
+    # each item has exactly J paths of D nodes (CoordinateDescentSpec parity)
+    assert idx2.item_paths.shape == (dr_data.num_items, 2, 3)
+
+
+def test_inverted_mapping():
+    idx = PathIndex(
+        item_paths=np.array(
+            [[[0, 1], [2, 3]], [[0, 1], [4, 5]]], dtype=np.int32
+        ),
+        num_nodes=6,
+    )
+    p2i = idx.path_to_items()
+    assert p2i[(0, 1)] == [0, 1]
+    assert p2i[(2, 3)] == [0]
+    assert p2i[(4, 5)] == [1]
+
+
+def test_layer_forward_matches_flat_linear():
+    """Split seq/prefix matmul must equal one flat Linear over the concat."""
+    key = jax.random.PRNGKey(0)
+    num_items, k_nodes, d_layers, l, e = 7, 4, 3, 5, 8
+    params = dr_models.init_layer_params(key, num_items, k_nodes, d_layers, l, e)
+    seqs = jnp.array([[0, 1, 2, -1, -1]])
+    paths = jnp.array([[[1, 2, 3], [0, 0, 1]]])  # [1, 2, 3]
+    logits = dr_models.layer_forward_training(params, seqs, paths, num_items, k_nodes)
+    assert [x.shape for x in logits] == [(1, 2, k_nodes)] * d_layers
+
+    # hand-compute layer 2 for path 0: input = seq ++ [p0+off0, p1+off1]
+    table = params["embedding"]
+    from dismember_tpu.models.embedding import embed_lookup
+
+    seq_e = embed_lookup(table, seqs[0]).reshape(-1)
+    prefix_ids = jnp.array([1 + num_items + 0 * k_nodes, 2 + num_items + 1 * k_nodes])
+    pre_e = table[prefix_ids].reshape(-1)
+    flat = jnp.concatenate([seq_e, pre_e])
+    w = params["heads"][2]["weight"]
+    expected = flat @ w.T + params["heads"][2]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(logits[2][0, 0]), np.asarray(expected), rtol=1e-5
+    )
+
+
+def test_path_beam_search_exact_small():
+    """Beam >= K^D must enumerate all paths with exact joint probabilities."""
+    key = jax.random.PRNGKey(1)
+    num_items, k_nodes, d_layers, l, e = 5, 3, 2, 4, 8
+    params = dr_models.init_layer_params(key, num_items, k_nodes, d_layers, l, e)
+    seqs = jnp.array([[0, 1, -1, -1]])
+    paths, probs = jax.device_get(
+        path_beam_search(params, seqs, 9, num_items, k_nodes, d_layers)
+    )
+    # all 9 paths present, probs sum to 1
+    keys = {tuple(p) for p in paths[0]}
+    assert len(keys) == 9
+    np.testing.assert_allclose(probs[0].sum(), 1.0, rtol=1e-5)
+    # probs sorted descending
+    assert (np.diff(probs[0]) <= 1e-7).all()
+
+
+def test_sampled_softmax_excludes_positive():
+    key = jax.random.PRNGKey(2)
+    params = dr_models.init_rerank_params(key, num_items=10, seq_len=4, embed_size=8)
+    vecs = jnp.ones((3, 8))
+    labels = jnp.array([1, 5, 9])
+    loss = dr_models.sampled_softmax_loss(params, vecs, labels, key, num_sampled=3)
+    assert np.isfinite(float(loss))
+    full = dr_models.full_softmax_loss(params, vecs, labels)
+    assert np.isfinite(float(full))
+
+
+def test_dr_end_to_end(dr_data):
+    tr = DRTrainer(
+        dr_data,
+        num_layers=3,
+        num_nodes=20,
+        num_paths_per_item=2,
+        embed_size=8,
+        learning_rate=1e-2,
+        train_batch_size=1024,
+        eval_batch_size=1024,
+        beam_size=10,
+        topk=5,
+        seed=0,
+    )
+    results = tr.train(num_epochs=5)
+    assert len(results) == 5
+    # train loss decreases across epochs (the reference asserts this on eval
+    # loss with its full-data config, DeepRetrievalSpec.scala:100-107; the
+    # shrunken test dataset overfits, so assert on the train losses here)
+    tl = tr.train_loss_log
+    assert sum(tl[-1]["layer_loss"]) < sum(tl[0]["layer_loss"])
+    assert tl[-1]["rerank_loss"] < tl[0]["rerank_loss"]
+    assert all(np.isfinite(sum(r.layer_loss)) and np.isfinite(r.rerank_loss) for r in results)
+
+    recs = tr.recommend_batch(dr_data.eval_seqs[:4], topk=5)
+    for r in recs:
+        assert len(r) <= 5
+        assert len(np.unique(r)) == len(r)
+
+
+def test_coordinate_descent(dr_data):
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        train_batch_size=1024, beam_size=10, seed=0,
+    )
+    tr.train(num_epochs=1)
+    sub = slice(0, 2000)
+    new_index = coordinate_descent(
+        tr,
+        dr_data.train_seqs[sub],
+        dr_data.train_targets[sub],
+        num_iteration=1,
+        num_candidate_path=10,
+        batch_size=1024,
+        mode="batch",
+    )
+    # mapping keys == item set, each item has exactly J paths of D nodes
+    assert new_index.item_paths.shape == (dr_data.num_items, 2, 3)
+    assert (new_index.item_paths >= 0).all() and (new_index.item_paths < 20).all()
+
+    # streaming mode also works
+    new_index2 = coordinate_descent(
+        tr,
+        dr_data.train_seqs[:500],
+        dr_data.train_targets[:500],
+        num_iteration=2,
+        num_candidate_path=10,
+        batch_size=256,
+        mode="streaming",
+    )
+    assert new_index2.item_paths.shape == (dr_data.num_items, 2, 3)

@@ -1,0 +1,105 @@
+"""JTM tree-learning tests (JtmSpec parity: total, leaf-bounded, bijective
+projection) plus rebalance unit tests."""
+
+import numpy as np
+import pytest
+
+from dismember_tpu.data.ingest import read_csv, user_interactions, unique_items_with_category
+from dismember_tpu.data.tdm_dataset import generate_split_samples
+from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+from dismember_tpu.models import din
+from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
+import jax
+
+
+@pytest.fixture(scope="module")
+def setup(small_csv, tmp_path_factory):
+    raw = read_csv(small_csv)
+    inter = user_interactions(raw)
+    samples = generate_split_samples(inter, 10, 2, 0.8)
+    ids, cats = unique_items_with_category(raw)
+    # keep it small: take first 120 items only
+    keep = set(ids[:120].tolist())
+    mask = np.isin(samples.train_targets, list(keep))
+    train_seqs = samples.train_seqs[mask]
+    train_targets = samples.train_targets[mask]
+    sorted_ids, codes = category_sorted_codes(ids[:120], cats[:120])
+    path = str(tmp_path_factory.mktemp("jtm") / "tree.bin")
+    write_tree(path, sorted_ids, codes, stat=samples.stat)
+    tree = ArrayTree.from_file(path)
+    key = jax.random.PRNGKey(0)
+    num_index = (1 << (tree.max_level + 1)) - 1
+    params = din.init_params(key, num_index, 8)
+    return tree, params, train_seqs, train_targets
+
+
+def test_projection_invariants(setup):
+    tree, params, train_seqs, train_targets = setup
+    learner = TreeLearner(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=2,
+    )
+    proj = learner.optimize()
+    # total: every item mapped
+    assert set(proj) == set(int(x) for x in tree.item_ids)
+    # leaf-range bounded
+    lo = (1 << tree.max_level) - 1
+    hi = 2 * lo + 1
+    codes = np.asarray(list(proj.values()))
+    assert (codes >= lo).all() and (codes < hi).all()
+    # bijective (size preserving)
+    assert len(np.unique(codes)) == len(codes)
+
+
+def test_write_projection_tree(setup, tmp_path):
+    tree, params, train_seqs, train_targets = setup
+    learner = TreeLearner(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=3,
+    )
+    proj = learner.optimize()
+    out = str(tmp_path / "jtm_tree.bin")
+    write_projection_tree(tree, proj, out)
+    tree2 = ArrayTree.from_file(out)
+    assert tree2.num_items == tree.num_items
+    assert tree2.max_level == tree.max_level
+    # new leaf codes match the projection
+    for iid in list(proj)[:20]:
+        assert tree2.ids_to_codes(np.array([iid]))[0] == proj[iid]
+    # leaf probs carried over from the old tree
+    iid = int(tree.item_ids[0])
+    old_prob = tree.node_prob[tree.ids_to_codes(np.array([iid]))[0]]
+    new_prob = tree2.node_prob[tree2.ids_to_codes(np.array([iid]))[0]]
+    assert new_prob == pytest.approx(old_prob)
+
+
+def test_rebalance_capacity():
+    """All items prefer candidate 0; capacity must push extras to others."""
+    tree = None  # not needed by rebalance
+    learner = TreeLearner.__new__(TreeLearner)
+    node_items = np.arange(6)
+    candidates = np.array([7, 8, 9, 10])
+    weights = np.tile(np.array([[4.0, 3.0, 2.0, 1.0]]), (6, 1))
+    weights[:, 0] += np.arange(6) * 0.1  # item 5 strongest at cand 0
+    old_codes = np.full(6, 9)  # old assignment: candidate 9 for everyone
+    out = TreeLearner.rebalance(
+        learner, node_items, candidates, weights, old_codes, max_assign=2
+    )
+    sizes = {k: len(v) for k, v in out.items()}
+    assert all(v <= 2 for v in sizes.values())
+    assert sum(sizes.values()) == 6
+
+
+def test_rebalance_prefers_old_assignment():
+    learner = TreeLearner.__new__(TreeLearner)
+    node_items = np.arange(3)
+    candidates = np.array([3, 4])
+    # all want candidate 3 with equal weight
+    weights = np.array([[1.0, 0.5], [1.0, 0.5], [1.0, 0.5]])
+    old_codes = np.array([4, 3, 4])  # item 1's old node is 3
+    out = TreeLearner.rebalance(
+        learner, node_items, candidates, weights, old_codes, max_assign=1
+    )
+    # item 1 must stay at 3 (old assignment preferred)
+    assert 1 in out[3]
