@@ -77,9 +77,13 @@ def main() -> None:
     seq_codes = tree.ids_to_codes(seqs)
     import jax.numpy as jnp
 
+    from dismember_tpu.models import din
     from dismember_tpu.retrieval.tree_beam import make_beam_fn
 
-    beam_fn = make_beam_fn(trainer.forward, tree, beam=20)
+    beam_fn = make_beam_fn(
+        trainer.forward, tree, beam=20,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
     x = jnp.asarray(seq_codes)
     # compile + warm up
     ids_out, scores_out = beam_fn(trainer.params, x)
@@ -96,7 +100,10 @@ def main() -> None:
     # baseline stand-in: single-query sequential latency on this machine
     # (the reference protocol: avg of 100 single queries)
     one = jnp.asarray(seq_codes[:1])
-    beam_fn1 = make_beam_fn(trainer.forward, tree, beam=20)
+    beam_fn1 = make_beam_fn(
+        trainer.forward, tree, beam=20,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
     r, _ = beam_fn1(trainer.params, one)
     r.block_until_ready()
     t0 = time.perf_counter()

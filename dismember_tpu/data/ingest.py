@@ -35,6 +35,24 @@ def _is_number(s: str) -> bool:
 
 
 def read_csv(path: str) -> InitSamples:
+    """CSV ingest; uses the native host library when available."""
+    from dismember_tpu.data.native import parse_csv_native
+
+    native = parse_csv_native(path)
+    if native is not None:
+        users, items, cats, labels, timestamps, cat_names = native
+        return InitSamples(
+            user=users,
+            item=items,
+            category=cats,
+            label=labels,
+            timestamp=timestamps,
+            category_names=cat_names,
+        )
+    return _read_csv_python(path)
+
+
+def _read_csv_python(path: str) -> InitSamples:
     users: list[int] = []
     items: list[int] = []
     cats: list[int] = []
@@ -70,8 +88,16 @@ def user_interactions(samples: InitSamples) -> dict[int, np.ndarray]:
     """user -> time-sorted distinct item sequence (first occurrence kept).
 
     Mirrors TreeInit.getUserInteracted (TreeInit.scala:96-118): a stable sort
-    by timestamp within each user, then ``distinct``.
+    by timestamp within each user, then ``distinct``.  Uses the native host
+    library when available.
     """
+    from dismember_tpu.data.native import user_interactions_native
+
+    native = user_interactions_native(
+        samples.user, samples.item, samples.timestamp
+    )
+    if native is not None:
+        return native
     order = np.argsort(samples.timestamp, kind="stable")
     users = samples.user[order]
     items = samples.item[order]

@@ -1,0 +1,172 @@
+"""ctypes bindings for the native host-ops library (native/host_ops.cc).
+
+The library is built on demand (``make -C native``) and used transparently by
+the ingest path; everything falls back to the pure-numpy implementation when
+no compiler/library is available (set ``DISMEMBER_NO_NATIVE=1`` to force the
+fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdismember_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _CsvResult(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("users", ctypes.POINTER(ctypes.c_int64)),
+        ("items", ctypes.POINTER(ctypes.c_int64)),
+        ("timestamps", ctypes.POINTER(ctypes.c_int64)),
+        ("labels", ctypes.POINTER(ctypes.c_float)),
+        ("categories", ctypes.POINTER(ctypes.c_int32)),
+        ("category_names", ctypes.c_char_p),
+        ("category_names_len", ctypes.c_int64),
+    ]
+
+
+class _InteractionsResult(ctypes.Structure):
+    _fields_ = [
+        ("n_users", ctypes.c_int64),
+        ("n_items_total", ctypes.c_int64),
+        ("unique_users", ctypes.POINTER(ctypes.c_int64)),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("items_concat", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if os.environ.get("DISMEMBER_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.dm_parse_csv.restype = ctypes.POINTER(_CsvResult)
+        lib.dm_parse_csv.argtypes = [ctypes.c_char_p]
+        lib.dm_free_csv.argtypes = [ctypes.POINTER(_CsvResult)]
+        lib.dm_user_interactions.restype = ctypes.POINTER(_InteractionsResult)
+        lib.dm_user_interactions.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.dm_free_interactions.argtypes = [ctypes.POINTER(_InteractionsResult)]
+        lib.dm_scan_kv_records.restype = ctypes.c_int64
+        lib.dm_scan_kv_records.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def parse_csv_native(path: str):
+    """Native CSV ingest; returns the same tuple layout as ingest.read_csv
+    fields, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    res = lib.dm_parse_csv(path.encode("utf-8"))
+    if not res:
+        return None
+    try:
+        r = res.contents
+        n = r.n_rows
+        users = np.ctypeslib.as_array(r.users, (n,)).copy()
+        items = np.ctypeslib.as_array(r.items, (n,)).copy()
+        timestamps = np.ctypeslib.as_array(r.timestamps, (n,)).copy()
+        labels = np.ctypeslib.as_array(r.labels, (n,)).copy()
+        cats = np.ctypeslib.as_array(r.categories, (n,)).copy()
+        names = (r.category_names or b"").decode("utf-8")
+        cat_names = names.split("\n") if names else []
+        return users, items, cats, labels, timestamps, cat_names
+    finally:
+        lib.dm_free_csv(res)
+
+
+def user_interactions_native(
+    users: np.ndarray, items: np.ndarray, timestamps: np.ndarray
+):
+    """Native grouped interactions; returns dict[user] -> item array, or
+    None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    users = np.ascontiguousarray(users, dtype=np.int64)
+    items = np.ascontiguousarray(items, dtype=np.int64)
+    timestamps = np.ascontiguousarray(timestamps, dtype=np.int64)
+    res = lib.dm_user_interactions(
+        users.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        items.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        timestamps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(users),
+    )
+    if not res:
+        return None
+    try:
+        r = res.contents
+        nu = r.n_users
+        uu = np.ctypeslib.as_array(r.unique_users, (nu,)).copy()
+        off = np.ctypeslib.as_array(r.offsets, (nu + 1,)).copy()
+        stream = np.ctypeslib.as_array(r.items_concat, (r.n_items_total,)).copy()
+        return {
+            int(uu[i]): stream[off[i] : off[i + 1]] for i in range(nu)
+        }
+    finally:
+        lib.dm_free_interactions(res)
+
+
+def scan_kv_records_native(data: bytes):
+    """(offsets, lengths) arrays of the KV framing, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(16, len(data) // 8)
+    offsets = np.empty(cap, dtype=np.int64)
+    lengths = np.empty(cap, dtype=np.int64)
+    count = lib.dm_scan_kv_records(
+        data,
+        len(data),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+    )
+    return offsets[:count], lengths[:count]

@@ -132,13 +132,27 @@ def read_tree(path: str) -> LoadedTree:
     meta: TreeMeta | None = None
     with open(path, "rb") as f:
         data = f.read()
-    pos = 0
-    n = len(data)
-    while pos + 4 <= n:
-        (rec_len,) = struct.unpack(">i", data[pos : pos + 4])
-        pos += 4
-        item = KVItem.decode(data[pos : pos + rec_len])
-        pos += rec_len
+
+    # record framing scan: native single-pass splitter when available
+    from dismember_tpu.data.native import scan_kv_records_native
+
+    spans = scan_kv_records_native(data)
+    if spans is None:
+        offsets = []
+        lengths = []
+        pos = 0
+        n = len(data)
+        while pos + 4 <= n:
+            (rec_len,) = struct.unpack(">i", data[pos : pos + 4])
+            pos += 4
+            offsets.append(pos)
+            lengths.append(rec_len)
+            pos += rec_len
+    else:
+        offsets, lengths = spans
+
+    for off, rec_len in zip(offsets, lengths):
+        item = KVItem.decode(data[off : off + rec_len])
         key = item.key.decode("utf-8")
         if key.startswith("tree_meta"):
             meta = TreeMeta.decode(item.value)

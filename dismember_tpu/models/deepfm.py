@@ -69,3 +69,39 @@ def forward(params: Params, items: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarra
     h = jax.nn.relu(h)  # [B, U, T]
     dnn = (h @ params["mlp2"]["weight"].T + params["mlp2"]["bias"])[..., 0]  # [B, U]
     return fm + dnn
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-sequence variant for beam search: for DeepFM the entire
+# sequence contribution (embedding sum, squared norm, and the DNN's sequence
+# matmul) is level-invariant.
+# ---------------------------------------------------------------------------
+
+
+def precompute_seq(params: Params, seqs: jnp.ndarray):
+    table = params["embedding"]
+    seq_e = embed_lookup(table, seqs)  # [B, L, E]
+    seq_sum = jnp.sum(seq_e, axis=1)  # [B, E]
+    seq_sq = jnp.sum(seq_e * seq_e, axis=(1, 2))  # [B]
+    b = seq_e.shape[0]
+    e = table.shape[1]
+    w1_seq = params["mlp1"]["weight"][:, e:]
+    seq_dnn = seq_e.reshape(b, -1) @ w1_seq.T  # [B, T]
+    return seq_sum, seq_sq, seq_dnn
+
+
+def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
+    seq_sum, seq_sq, seq_dnn = ctx
+    table = params["embedding"]
+    e = table.shape[1]
+    item_e = embed_lookup(table, items)  # [B, U, E]
+    total_sum = item_e + seq_sum[:, None, :]
+    sum_square = jnp.sum(total_sum * total_sum, axis=-1)
+    square_sum = jnp.sum(item_e * item_e, axis=-1) + seq_sq[:, None]
+    fm = (sum_square - square_sum) * 0.5
+    w1_item = params["mlp1"]["weight"][:, :e]
+    h = jax.nn.relu(
+        item_e @ w1_item.T + seq_dnn[:, None, :] + params["mlp1"]["bias"]
+    )
+    dnn = (h @ params["mlp2"]["weight"].T + params["mlp2"]["bias"])[..., 0]
+    return fm + dnn

@@ -81,3 +81,35 @@ def forward(params: Params, items: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarra
     h = jax.nn.relu(h @ params["mlp1"]["weight"].T + params["mlp1"]["bias"])
     logit = h @ params["mlp2"]["weight"].T + params["mlp2"]["bias"]  # [B, U, 1]
     return logit[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-sequence variant for beam search: the sequence side (embedding
+# gather + padding mask) is identical at every tree level, so serving
+# computes it once per query and re-applies it per level.
+# ---------------------------------------------------------------------------
+
+
+def precompute_seq(params: Params, seqs: jnp.ndarray):
+    """One-time per-query context: (seq embeddings [B, L, E], pad mask)."""
+    seq_e = embed_lookup(params["embedding"], seqs)
+    pad = (seqs == PADDING_IDX)[:, None, :]
+    return seq_e, pad
+
+
+def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
+    """forward() with the sequence side precomputed by :func:`precompute_seq`."""
+    seq_e, pad = ctx
+    table = params["embedding"]
+    embed_size = table.shape[1]
+    item_e = embed_lookup(table, items)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(embed_size, table.dtype))
+    scores = jnp.einsum("bue,ble->bul", item_e, seq_e) * scale
+    scores = jnp.where(pad, MASK_VALUE, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    att = jnp.einsum("bul,ble->bue", probs, seq_e)
+    att = att @ params["att_linear"]["weight"].T
+    h = jnp.concatenate([item_e, att], axis=-1)
+    h = jax.nn.relu(h @ params["mlp1"]["weight"].T + params["mlp1"]["bias"])
+    logit = h @ params["mlp2"]["weight"].T + params["mlp2"]["bias"]
+    return logit[..., 0]

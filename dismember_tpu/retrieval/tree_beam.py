@@ -63,15 +63,24 @@ def beam_search_batch(
     node_exists: jnp.ndarray,  # [total_codes] bool (device)
     node_id: jnp.ndarray,  # [total_codes] int32
     cfg: TreeBeamConfig,
+    precompute: Callable | None = None,
+    apply: Callable | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (leaf item ids [B, 2*beam], scores [B, 2*beam]).
 
-    Non-existent leaves carry id -1 and score -inf.  jit this via
-    ``jax.jit(functools.partial(beam_search_batch, forward), static_argnames=("cfg",))``
-    or through :func:`make_beam_fn`.
+    Non-existent leaves carry id -1 and score -inf.  When the scorer provides
+    a (precompute, apply) pair, the level-invariant sequence side (embedding
+    gathers, masks, sequence matmuls) is computed once per query instead of
+    once per tree level.
     """
     b = seq_codes.shape[0]
     width = 2 * cfg.beam
+
+    if precompute is not None and apply is not None:
+        ctx = precompute(params, seq_codes)
+        score_fn = lambda p, items: apply(p, items, ctx)  # noqa: E731
+    else:
+        score_fn = lambda p, items: forward(p, items, seq_codes)  # noqa: E731
 
     frontier = jnp.broadcast_to(
         jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
@@ -79,7 +88,8 @@ def beam_search_batch(
     valid = frontier >= 0
     scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
 
-    for _level in range(cfg.start_level, cfg.max_level):
+    def level_body(carry, _):
+        frontier, scores = carry
         top_scores, top_idx = jax.lax.top_k(scores, cfg.beam)  # [B, beam]
         top_codes = jnp.take_along_axis(frontier, top_idx, axis=1)
         top_alive = top_scores > _NEG_INF / 2
@@ -90,9 +100,15 @@ def beam_search_batch(
         child_alive = jnp.repeat(top_alive, 2, axis=1)
         safe_children = jnp.where(child_alive, children, 0)
         exists = node_exists[safe_children] & child_alive
-        logits = forward(params, jnp.where(exists, children, -1), seq_codes)
-        frontier = children
-        scores = jnp.where(exists, logits, _NEG_INF)
+        logits = score_fn(params, jnp.where(exists, children, -1))
+        return (children, jnp.where(exists, logits, _NEG_INF)), None
+
+    # scan over levels: uniform shapes -> one compiled body for all levels
+    n_levels = cfg.max_level - cfg.start_level
+    if n_levels > 0:
+        (frontier, scores), _ = jax.lax.scan(
+            level_body, (frontier, scores), None, length=n_levels
+        )
 
     leaf_ok = scores > _NEG_INF / 2
     safe = jnp.where(leaf_ok, frontier, 0)
@@ -101,7 +117,11 @@ def beam_search_batch(
 
 
 def make_beam_fn(
-    forward: Callable[..., jnp.ndarray], tree: ArrayTree, beam: int
+    forward: Callable[..., jnp.ndarray],
+    tree: ArrayTree,
+    beam: int,
+    precompute: Callable | None = None,
+    apply: Callable | None = None,
 ) -> Callable:
     """Build a jitted ``(params, seq_codes) -> (item_ids, scores)`` closure."""
     cfg = make_config(tree, beam)
@@ -110,7 +130,10 @@ def make_beam_fn(
 
     @jax.jit
     def run(params, seq_codes):
-        return beam_search_batch(forward, params, seq_codes, node_exists, node_id, cfg)
+        return beam_search_batch(
+            forward, params, seq_codes, node_exists, node_id, cfg,
+            precompute=precompute, apply=apply,
+        )
 
     return run
 

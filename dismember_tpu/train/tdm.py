@@ -56,6 +56,13 @@ def build_model(model_type: str, tree_max_level: int, embed_size: int, seq_len: 
     raise ValueError(f"unknown deep model: {model_type}")
 
 
+def serving_fns(model_type: str):
+    """(precompute, apply) pair with the level-invariant sequence side hoisted
+    out of the beam-search level loop."""
+    mod = {"din": din, "deepfm": deepfm}[model_type]
+    return mod.precompute_seq, mod.apply_with_ctx
+
+
 @dataclasses.dataclass
 class TDMTrainer:
     tree: ArrayTree
@@ -252,7 +259,10 @@ class TDMTrainer:
         cn = candidate_num or self.beam_size
         k = topk or self.topk
         if self._beam_fn is None or self._beam_fn_width != cn:
-            self._beam_fn = make_beam_fn(self.forward, self.tree, cn)
+            pre, app = serving_fns(self.model_type)
+            self._beam_fn = make_beam_fn(
+                self.forward, self.tree, cn, precompute=pre, apply=app
+            )
             self._beam_fn_width = cn
         seq_codes = self.tree.ids_to_codes(seqs)
         out: list[np.ndarray] = []

@@ -105,3 +105,27 @@ def test_cross_entropy():
         ]
     )
     np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_din_precompute_apply_equivalence():
+    key = jax.random.PRNGKey(3)
+    from dismember_tpu.models.din import apply_with_ctx, precompute_seq
+
+    params = din.init_params(key, 63, 8)
+    items = jax.random.randint(key, (4, 6), -1, 63)
+    seqs = jax.random.randint(key, (4, 5), -1, 63)
+    ref = din.forward(params, items, seqs)
+    got = apply_with_ctx(params, items, precompute_seq(params, seqs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_deepfm_precompute_apply_equivalence():
+    key = jax.random.PRNGKey(4)
+    from dismember_tpu.models.deepfm import apply_with_ctx, precompute_seq
+
+    params = deepfm.init_params(key, 63, 8, 5)
+    items = jax.random.randint(key, (4, 6), -1, 63)
+    seqs = jax.random.randint(key, (4, 5), -1, 63)
+    ref = deepfm.forward(params, items, seqs)
+    got = apply_with_ctx(params, items, precompute_seq(params, seqs))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
