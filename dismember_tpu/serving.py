@@ -1,0 +1,150 @@
+"""Serving facades: load persisted artifacts, score and recommend.
+
+Parity with the reference's serving surface:
+- TDMServing   <- tdm/.../model/TDM.scala:8-59 (``predict`` = sigmoid scores,
+  ``recommend`` = beam search + consumed filter + top-k) and the Java API
+  demo (examples/src/main/java/.../JavaRecommend.java) — load a saved model
+  + tree and serve queries with no training machinery attached.
+- OTMServing   <- otm/.../model/OTM.scala facade over CandidateSearcher.
+- DRServing    <- deep-retrieval/.../model/DeepRetrieval.scala:15-107.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dismember_tpu.core.checkpoint import load_meta, load_pytree
+
+
+class TDMServing:
+    def __init__(self, params, forward, tree, precompute=None, apply=None,
+                 topk: int = 10, candidate_num: int = 20):
+        self.params = params
+        self.forward = forward
+        self.tree = tree
+        self.precompute = precompute
+        self.apply = apply
+        self.topk = topk
+        self.candidate_num = candidate_num
+        self._beam_fns: dict[int, object] = {}
+
+    @classmethod
+    def load(cls, model_path: str, tree_path: str, **kwargs) -> "TDMServing":
+        import jax
+
+        from dismember_tpu.index.arraytree import ArrayTree
+        from dismember_tpu.train.tdm import build_model, serving_fns
+
+        tree = ArrayTree.from_file(tree_path)
+        meta = load_meta(model_path)
+        params_like, forward = build_model(
+            meta["model"], tree.max_level, meta["embed_size"], meta["seq_len"],
+            jax.random.PRNGKey(0),
+        )
+        params = load_pytree(model_path, params_like)
+        pre, app = serving_fns(meta["model"])
+        return cls(params, forward, tree, precompute=pre, apply=app, **kwargs)
+
+    # ------------------------------------------------------------------
+    def predict(self, sequence: np.ndarray, items: np.ndarray) -> np.ndarray:
+        """Sigmoid scores of candidate items given a sequence (TDM.predict)."""
+        import jax.numpy as jnp
+
+        seq_codes = self.tree.ids_to_codes(sequence[None, :])
+        item_codes = self.tree.ids_to_codes(items)[None, :]
+        logits = self.forward(
+            self.params, jnp.asarray(item_codes), jnp.asarray(seq_codes)
+        )
+        return np.asarray(1.0 / (1.0 + np.exp(-np.asarray(logits[0]))))
+
+    def _beam_fn(self, cn: int):
+        if cn not in self._beam_fns:
+            from dismember_tpu.retrieval.tree_beam import make_beam_fn
+
+            self._beam_fns[cn] = make_beam_fn(
+                self.forward, self.tree, cn,
+                precompute=self.precompute, apply=self.apply,
+            )
+        return self._beam_fns[cn]
+
+    def recommend(
+        self,
+        sequence: np.ndarray,
+        topk: int | None = None,
+        candidate_num: int | None = None,
+        consumed: np.ndarray | None = None,
+    ) -> np.ndarray:
+        k = topk or self.topk
+        cn = candidate_num or self.candidate_num
+        if consumed is not None and len(consumed) > 0:
+            cn = max((len(consumed) + k) // 2, cn)
+        return self.recommend_batch(
+            sequence[None, :], topk=k, candidate_num=cn,
+            consumed=[consumed] if consumed is not None else None,
+        )[0]
+
+    def recommend_batch(
+        self,
+        seqs: np.ndarray,
+        topk: int | None = None,
+        candidate_num: int | None = None,
+        consumed: list[np.ndarray] | None = None,
+    ) -> list[np.ndarray]:
+        import jax.numpy as jnp
+
+        from dismember_tpu.retrieval.tree_beam import filter_topk
+
+        k = topk or self.topk
+        cn = candidate_num or self.candidate_num
+        fn = self._beam_fn(cn)
+        seq_codes = self.tree.ids_to_codes(seqs)
+        ids, scores = fn(self.params, jnp.asarray(seq_codes))
+        return filter_topk(np.asarray(ids), np.asarray(scores), k, consumed)
+
+
+class DRServing:
+    def __init__(self, trainer):
+        self._trainer = trainer
+        self._p2i = trainer.path_index.path_to_items()
+
+    @classmethod
+    def load(
+        cls, model_path: str, mapping_path: str, data_path: str,
+        seq_len: int = 10, min_seq_len: int = 2, split_ratio: float = 0.8,
+        num_nodes: int = 100, **trainer_kwargs,
+    ) -> "DRServing":
+        from dismember_tpu.data.dr_dataset import build_dr_data
+        from dismember_tpu.index.paths import PathIndex
+        from dismember_tpu.train.dr import DRTrainer
+
+        path_index, item_to_id = PathIndex.read(mapping_path, num_nodes)
+        data = build_dr_data(data_path, seq_len, min_seq_len, split_ratio, item_to_id)
+        meta = load_meta(model_path + ".layer")
+        trainer = DRTrainer(
+            data,
+            num_layers=meta["num_layer"],
+            num_nodes=meta["num_node"],
+            num_paths_per_item=path_index.num_paths_per_item,
+            embed_size=meta["embed_size"],
+            seq_len=meta["seq_len"],
+            path_index=path_index,
+            **trainer_kwargs,
+        )
+        trainer.layer_params = load_pytree(model_path + ".layer", trainer.layer_params)
+        trainer.rerank_params = load_pytree(
+            model_path + ".rerank", trainer.rerank_params
+        )
+        return cls(trainer)
+
+    def recommend(
+        self, sequence: np.ndarray, topk: int = 10, beam_size: int | None = None,
+        consumed: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """sequence/result in dense item-id space (map via data.item_to_id)."""
+        if beam_size is not None:
+            self._trainer.beam = beam_size
+        return self._trainer.recommend_batch(
+            sequence[None, :], topk=topk,
+            consumed=[consumed] if consumed is not None else None,
+            path_to_items=self._p2i,
+        )[0]

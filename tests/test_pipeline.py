@@ -1,0 +1,96 @@
+"""Pipeline driver, serving facades, compression codec tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dismember_tpu.core.compress import compress, compressed_add, decompress
+from dismember_tpu.data.ingest import read_csv, user_interactions, unique_items_with_category
+from dismember_tpu.data.tdm_dataset import generate_split_samples
+from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+from dismember_tpu.train.pipeline import StageState, run_tdm_alternation
+
+NEG = "0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,17,19,22,25,30,76,200"
+
+
+@pytest.fixture(scope="module")
+def samples_tree(small_csv, tmp_path_factory):
+    raw = read_csv(small_csv)
+    inter = user_interactions(raw)
+    samples = generate_split_samples(inter, 10, 2, 0.8)
+    ids, cats = unique_items_with_category(raw)
+    sid, codes = category_sorted_codes(ids, cats)
+    path = str(tmp_path_factory.mktemp("pl") / "tree.bin")
+    write_tree(path, sid, codes, stat=samples.stat)
+    return samples, path
+
+
+def test_tdm_alternation_with_resume(samples_tree, tmp_path):
+    samples, tree_path = samples_tree
+    wd = str(tmp_path / "alt")
+    kwargs = dict(
+        model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=1024, layer_neg_counts=NEG, topk=5, beam_size=10,
+    )
+    trainer, results = run_tdm_alternation(
+        wd, samples, tree_path, rounds=2, iterations_per_round=20,
+        cluster_iter=2, trainer_kwargs=kwargs, eval_every_round=False,
+    )
+    state = StageState.load(os.path.join(wd, "pipeline_state.json"))
+    assert state.round == 2
+    # round-2 artifacts exist
+    assert os.path.exists(os.path.join(wd, "model_round2.npz"))
+    assert os.path.exists(os.path.join(wd, "tree_round2.bin"))
+
+    # resume: a third round picks up from the checkpointed state
+    trainer2, _ = run_tdm_alternation(
+        wd, samples, tree_path, rounds=3, iterations_per_round=20,
+        cluster_iter=2, trainer_kwargs=kwargs, eval_every_round=False,
+    )
+    state = StageState.load(os.path.join(wd, "pipeline_state.json"))
+    assert state.round == 3
+    rec = trainer2.recommend(samples.eval_seqs[0], topk=5)
+    assert len(rec) == 5
+
+
+def test_tdm_serving_facade(samples_tree, tmp_path):
+    from dismember_tpu.core.checkpoint import save_pytree
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.serving import TDMServing
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    samples, tree_path = samples_tree
+    tree = ArrayTree.from_file(tree_path)
+    trainer = TDMTrainer(
+        tree=tree, model_type="din", embed_size=8, layer_neg_counts=NEG,
+        total_batch_size=1024, topk=5, beam_size=10,
+    )
+    trainer.train(samples.train_seqs, samples.train_targets, iterations=10,
+                  progress_interval=10)
+    mp = str(tmp_path / "serve_model")
+    save_pytree(mp, trainer.params, meta={
+        "model": "din", "embed_size": 8, "seq_len": 10,
+    })
+    serving = TDMServing.load(mp, tree_path, topk=5, candidate_num=10)
+    seq = samples.eval_seqs[0]
+    rec_t = trainer.recommend(seq, topk=5, candidate_num=10)
+    rec_s = serving.recommend(seq, topk=5, candidate_num=10)
+    np.testing.assert_array_equal(rec_t, rec_s)
+
+    # predict = sigmoid scores in [0, 1], ordered consistently with logits
+    scores = serving.predict(seq, rec_s)
+    assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def test_compress_roundtrip():
+    tree = {"a": jnp.arange(8, dtype=jnp.float32) / 7.0, "b": jnp.ones((3, 3))}
+    c = compress(tree)
+    assert c["a"].dtype == jnp.bfloat16
+    d = decompress(c)
+    np.testing.assert_allclose(np.asarray(d["a"]), np.asarray(tree["a"]), atol=1e-2)
+    s = compressed_add(c, c)
+    np.testing.assert_allclose(
+        np.asarray(decompress(s)["b"]), 2 * np.ones((3, 3)), atol=1e-2
+    )
