@@ -121,6 +121,7 @@ class OTMTrainer:
         self._beam_traj = jax.jit(self._beam_trajectory)
         self._pseudo = jax.jit(self._pseudo_targets)
         self._level_step = jax.jit(self._level_step_impl, donate_argnums=(0, 1))
+        self._train_batch = jax.jit(self._train_batch_impl, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def _beam_trajectory(self, params, seqs):
@@ -180,19 +181,17 @@ class OTMTrainer:
         # built bottom-up: reverse so index 0 = level start_level+1
         return jnp.stack(out_ids[::-1]), jnp.stack(out_labels[::-1])
 
-    def _normal_targets(self, target_items: np.ndarray):
+    def _normal_targets(self, target_items):
         """Plain ancestor targets (OTMTree.normalTargets): the ancestor of
-        each target at every level, label 1."""
+        each target at every level, label 1.  Pure jnp — runs inside jit."""
         ids_levels = []
         labels_levels = []
-        cur = target_items.astype(np.int64)
+        cur = jnp.asarray(target_items, jnp.int32)
         for _ in range(self.n_levels):
-            ids_levels.append(cur.copy())
-            labels_levels.append((cur >= 0).astype(np.float32))
-            cur = np.where(cur >= 0, (cur - 1) >> 1, -1)
-        ids = np.stack(ids_levels[::-1]).astype(np.int32)
-        labels = np.stack(labels_levels[::-1])
-        return jnp.asarray(ids), jnp.asarray(labels)
+            ids_levels.append(cur)
+            labels_levels.append((cur >= 0).astype(jnp.float32))
+            cur = jnp.where(cur >= 0, (cur - 1) >> 1, -1)
+        return jnp.stack(ids_levels[::-1]), jnp.stack(labels_levels[::-1])
 
     def _level_step_impl(self, params, opt_state, nodes, t_ids, t_labels, seqs):
         """One BCE step on (beam nodes, level targets)."""
@@ -212,6 +211,28 @@ class OTMTrainer:
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, loss
 
+    def _train_batch_impl(self, params, opt_state, seqs, targets):
+        """One whole OTM batch in a single dispatch: pseudo/normal targets +
+        frozen-model beam trajectory (both with the pre-update parameters,
+        as in the reference), then a lax.scan of the sequential per-level
+        BCE+Adam steps.  Returns (params, opt_state, per-level losses)."""
+        if self.target_mode == "pseudo":
+            t_ids, t_labels = self._pseudo_targets(params, seqs, targets)
+        else:
+            t_ids, t_labels = self._normal_targets(targets)
+        nodes, _scores = self._beam_trajectory(params, seqs)
+
+        def level_step(carry, x):
+            p, o = carry
+            nodes_l, tid_l, tlab_l = x
+            p, o, loss = self._level_step_impl(p, o, nodes_l, tid_l, tlab_l, seqs)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            level_step, (params, opt_state), (nodes, t_ids, t_labels)
+        )
+        return params, opt_state, losses
+
     # ------------------------------------------------------------------
     def train(self, num_epochs: int, progress_interval: int = 0) -> list[dict]:
         d = self.data
@@ -227,22 +248,10 @@ class OTMTrainer:
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
                 seqs = jnp.asarray(d.train_seqs[idx], dtype=jnp.int32)
                 targets = jnp.asarray(d.train_labels[idx], dtype=jnp.int32)
-                if self.target_mode == "pseudo":
-                    t_ids, t_labels = self._pseudo(self.params, seqs, targets)
-                else:
-                    t_ids, t_labels = self._normal_targets(d.train_labels[idx])
-                nodes, _scores = self._beam_traj(self.params, seqs)
-                level_losses = []
-                for li in range(self.n_levels):
-                    self.params, self.opt_state, loss = self._level_step(
-                        self.params,
-                        self.opt_state,
-                        nodes[li],
-                        t_ids[li],
-                        t_labels[li],
-                        seqs,
-                    )
-                    level_losses.append(float(loss))
+                self.params, self.opt_state, losses = self._train_batch(
+                    self.params, self.opt_state, seqs, targets
+                )
+                level_losses = [float(x) for x in losses]
                 epoch_losses.append(level_losses)
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
                     logger.info(

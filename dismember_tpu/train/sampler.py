@@ -52,16 +52,30 @@ def parse_layer_neg_counts(layer_neg_counts: str, max_level: int) -> list[int]:
 
 @dataclasses.dataclass
 class TreeSampler:
-    """Per-tree sampling state: level candidate tables + static layout."""
+    """Per-tree sampling state: level candidate tables + static layout.
+
+    Two per-level strategies, chosen by the level's candidate count:
+    - *exact* (small levels): Gumbel top-k over the level's candidate table —
+      exact uniform/weighted sampling without replacement;
+    - *rejection* (levels larger than ``max_exact_level``): draw an
+      oversampled batch of uniform codes in the level's range, mask
+      non-existent / positive / duplicate draws, keep the first ``neg``
+      valid — the vectorized analogue of the reference's tolerance-bounded
+      rejection loop (NegativeSampler.scala:116-158), memory O(B·neg)
+      instead of O(B·level_size), so million-leaf bottom levels work.
+    """
 
     max_level: int
     start_level: int
     neg_counts: list[int]  # per level (index = level), only [start..max] used
     unit: int  # rows per target = sum(1 + neg) over levels
-    level_tables: list[jnp.ndarray]  # per level: candidate codes [n_l]
-    level_logits: list[jnp.ndarray]  # per level: base logits [n_l]
+    level_tables: list[jnp.ndarray | None]  # per level: candidate codes [n_l]
+    level_logits: list[jnp.ndarray | None]  # per level: base logits [n_l]
+    level_exact: list[bool]
+    node_exists: jnp.ndarray  # [total_codes] bool
     # static per-unit-position labels (1 for positives)
     unit_labels: np.ndarray  # [unit] float32
+    oversample: int = 2
 
     @classmethod
     def build(
@@ -70,23 +84,31 @@ class TreeSampler:
         layer_neg_counts: str,
         start_level: int = 1,
         with_prob: bool = False,
+        max_exact_level: int = 1 << 18,
     ) -> "TreeSampler":
         if start_level < 1:
             raise ValueError(f"start sample level should be at least 1, got {start_level}")
         counts = parse_layer_neg_counts(layer_neg_counts, tree.max_level)
-        level_tables = []
-        level_logits = []
+        level_tables: list[jnp.ndarray | None] = []
+        level_logits: list[jnp.ndarray | None] = []
+        level_exact: list[bool] = []
         labels: list[float] = []
         unit = 0
         for level in range(start_level, tree.max_level + 1):
             codes = tree.level_codes[level]
-            level_tables.append(jnp.asarray(codes, dtype=jnp.int32))
-            if with_prob:
-                probs = tree.node_prob[codes].astype(np.float64)
-                logits = np.log(np.maximum(probs, 1e-30))
+            exact = len(codes) <= max_exact_level or with_prob
+            level_exact.append(exact)
+            if exact:
+                level_tables.append(jnp.asarray(codes, dtype=jnp.int32))
+                if with_prob:
+                    probs = tree.node_prob[codes].astype(np.float64)
+                    logits = np.log(np.maximum(probs, 1e-30))
+                else:
+                    logits = np.zeros(len(codes), dtype=np.float64)
+                level_logits.append(jnp.asarray(logits, dtype=jnp.float32))
             else:
-                logits = np.zeros(len(codes), dtype=np.float64)
-            level_logits.append(jnp.asarray(logits, dtype=jnp.float32))
+                level_tables.append(None)
+                level_logits.append(None)
             unit += 1 + counts[level]
             labels.extend([1.0] + [0.0] * counts[level])
         return cls(
@@ -96,8 +118,30 @@ class TreeSampler:
             unit=unit,
             level_tables=level_tables,
             level_logits=level_logits,
+            level_exact=level_exact,
+            node_exists=jnp.asarray(tree.node_exists),
             unit_labels=np.asarray(labels, dtype=np.float32),
         )
+
+    def _sample_rejection(self, key, pos, level, neg):
+        """Oversampled uniform draws + validity/dup masking; [B, neg]."""
+        b = pos.shape[0]
+        m = self.oversample * neg + 8
+        lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+        cand = jax.random.randint(key, (b, m), lo, hi, dtype=jnp.int32)
+        exists = self.node_exists[cand]
+        not_pos = cand != pos[:, None]
+        # first-occurrence mask within the row (O(m^2) compare; m is small)
+        eq = cand[:, :, None] == cand[:, None, :]
+        tri = jnp.tril(jnp.ones((m, m), bool), k=-1)
+        dup = jnp.any(eq & tri[None], axis=-1)
+        ok = exists & not_pos & ~dup
+        # order: valid first (stable), take first `neg`
+        rank = jnp.where(ok, jnp.arange(m)[None, :], m + jnp.arange(m)[None, :])
+        order = jnp.argsort(rank, axis=1)[:, :neg]
+        picked_ok = jnp.take_along_axis(ok, order, axis=1)
+        picked = jnp.take_along_axis(cand, order, axis=1)
+        return jnp.where(picked_ok, picked, -1), picked_ok.astype(jnp.float32)
 
     def sample(
         self, key: jax.Array, target_codes: jnp.ndarray
@@ -113,8 +157,6 @@ class TreeSampler:
         parts_weights: list[jnp.ndarray] = []
         keys = jax.random.split(key, len(self.level_tables))
         for i, level in enumerate(range(self.start_level, self.max_level + 1)):
-            table = self.level_tables[i]
-            base = self.level_logits[i]
             neg = self.neg_counts[level]
             # ancestor of the bottom-level code at `level`
             shift = self.max_level - level
@@ -123,20 +165,27 @@ class TreeSampler:
             parts_weights.append(jnp.ones((b, 1), jnp.float32))
             if neg == 0:
                 continue
-            g = -jnp.log(
-                -jnp.log(
-                    jax.random.uniform(
-                        keys[i], (b, table.shape[0]), minval=1e-20, maxval=1.0
+            if self.level_exact[i]:
+                table = self.level_tables[i]
+                base = self.level_logits[i]
+                g = -jnp.log(
+                    -jnp.log(
+                        jax.random.uniform(
+                            keys[i], (b, table.shape[0]), minval=1e-20, maxval=1.0
+                        )
                     )
                 )
-            )
-            logits = base[None, :] + g
-            logits = jnp.where(table[None, :] == pos[:, None], _NEG_INF, logits)
-            picked_logits, idx = jax.lax.top_k(logits, neg)
-            codes = table[idx]  # [B, neg]
-            ok = picked_logits > _NEG_INF / 2
-            parts_codes.append(jnp.where(ok, codes, -1))
-            parts_weights.append(ok.astype(jnp.float32))
+                logits = base[None, :] + g
+                logits = jnp.where(table[None, :] == pos[:, None], _NEG_INF, logits)
+                picked_logits, idx = jax.lax.top_k(logits, neg)
+                codes = table[idx]  # [B, neg]
+                ok = picked_logits > _NEG_INF / 2
+                parts_codes.append(jnp.where(ok, codes, -1))
+                parts_weights.append(ok.astype(jnp.float32))
+            else:
+                codes, ok = self._sample_rejection(keys[i], pos, level, neg)
+                parts_codes.append(codes)
+                parts_weights.append(ok)
         codes = jnp.concatenate(parts_codes, axis=1)
         weights = jnp.concatenate(parts_weights, axis=1)
         labels = jnp.broadcast_to(jnp.asarray(self.unit_labels), (b, self.unit))

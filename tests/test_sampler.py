@@ -79,3 +79,38 @@ def test_sample_with_prob_prefers_heavy_nodes(tree):
     codes, labels, weights = jax.device_get(sampler.sample(key, target_codes))
     assert codes.shape[1] == sampler.unit
     assert np.isfinite(codes[weights > 0]).all()
+
+
+def test_rejection_sampler_matches_exact_semantics(tree):
+    """Force the rejection path (max_exact_level=0 not allowed with prob;
+    use tiny threshold) and check the same invariants as the exact path."""
+    sampler = TreeSampler.build(tree, NEG_COUNTS, start_level=1, max_exact_level=4)
+    assert not all(sampler.level_exact)  # deep levels use rejection
+    key = jax.random.PRNGKey(3)
+    target_codes = np.asarray(tree.item_codes[:16])
+    codes, labels, weights = jax.device_get(sampler.sample(key, target_codes))
+    anc = tree.ancestor_matrix(target_codes)
+    off = 0
+    for level in range(1, tree.max_level + 1):
+        np.testing.assert_array_equal(codes[:, off], anc[:, level])
+        neg = sampler.neg_counts[level]
+        if neg:
+            negs = codes[:, off + 1 : off + 1 + neg]
+            w = weights[:, off + 1 : off + 1 + neg]
+            for i in range(16):
+                real = negs[i][w[i] > 0]
+                assert len(np.unique(real)) == len(real)
+                assert anc[i, level] not in real
+                lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+                assert ((real >= lo) & (real < hi)).all()
+                assert tree.node_exists[real].all()
+        off += 1 + neg
+
+
+def test_rejection_sampler_fill_rate(tree):
+    """With 2x oversampling on dense levels nearly all slots should fill."""
+    sampler = TreeSampler.build(tree, NEG_COUNTS, start_level=1, max_exact_level=4)
+    key = jax.random.PRNGKey(4)
+    target_codes = np.asarray(tree.item_codes[:256])
+    _codes, _labels, weights = jax.device_get(sampler.sample(key, target_codes))
+    assert weights.mean() > 0.9
