@@ -170,3 +170,83 @@ def scan_kv_records_native(data: bytes):
         cap,
     )
     return offsets[:count], lengths[:count]
+
+
+class _TreeDecodeResult(ctypes.Structure):
+    _fields_ = [
+        ("max_level", ctypes.c_int32),
+        ("n_nodes", ctypes.c_int64),
+        ("n_pairs", ctypes.c_int64),
+        ("node_codes", ctypes.POINTER(ctypes.c_int64)),
+        ("node_ids", ctypes.POINTER(ctypes.c_int64)),
+        ("node_probs", ctypes.POINTER(ctypes.c_float)),
+        ("node_is_leaf", ctypes.POINTER(ctypes.c_uint8)),
+        ("pair_ids", ctypes.POINTER(ctypes.c_int64)),
+        ("pair_codes", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _tree_fns(lib):
+    if not hasattr(lib, "_tree_bound"):
+        lib.dm_write_tree.restype = ctypes.c_int64
+        lib.dm_write_tree.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.dm_read_tree.restype = ctypes.POINTER(_TreeDecodeResult)
+        lib.dm_read_tree.argtypes = [ctypes.c_char_p]
+        lib.dm_free_tree.argtypes = [ctypes.POINTER(_TreeDecodeResult)]
+        lib._tree_bound = True
+    return lib
+
+
+def write_tree_native(path, leaf_ids, leaf_codes, leaf_probs,
+                      anc_codes, anc_ids, anc_probs, max_level) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    _tree_fns(lib)
+    leaf_ids = np.ascontiguousarray(leaf_ids, np.int64)
+    leaf_codes = np.ascontiguousarray(leaf_codes, np.int64)
+    leaf_probs = np.ascontiguousarray(leaf_probs, np.float32)
+    anc_codes = np.ascontiguousarray(anc_codes, np.int64)
+    anc_ids = np.ascontiguousarray(anc_ids, np.int64)
+    anc_probs = np.ascontiguousarray(anc_probs, np.float32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf = ctypes.POINTER(ctypes.c_float)
+    ret = lib.dm_write_tree(
+        path.encode("utf-8"), len(leaf_ids),
+        leaf_ids.ctypes.data_as(p64), leaf_codes.ctypes.data_as(p64),
+        leaf_probs.ctypes.data_as(pf), len(anc_codes),
+        anc_codes.ctypes.data_as(p64), anc_ids.ctypes.data_as(p64),
+        anc_probs.ctypes.data_as(pf), int(max_level),
+    )
+    return ret >= 0
+
+
+def read_tree_native(path):
+    """dict of LoadedTree fields, or None."""
+    lib = get_lib()
+    if lib is None or not os.path.exists(path):
+        return None
+    _tree_fns(lib)
+    res = lib.dm_read_tree(path.encode("utf-8"))
+    if not res:
+        return None
+    try:
+        r = res.contents
+        nn, npair = r.n_nodes, r.n_pairs
+        return dict(
+            max_level=int(r.max_level),
+            item_ids=np.ctypeslib.as_array(r.pair_ids, (npair,)).copy(),
+            leaf_codes=np.ctypeslib.as_array(r.pair_codes, (npair,)).copy(),
+            node_codes=np.ctypeslib.as_array(r.node_codes, (nn,)).copy(),
+            node_ids=np.ctypeslib.as_array(r.node_ids, (nn,)).copy(),
+            node_probs=np.ctypeslib.as_array(r.node_probs, (nn,)).copy(),
+            node_is_leaf=np.ctypeslib.as_array(r.node_is_leaf, (nn,)).copy().astype(bool),
+        )
+    finally:
+        lib.dm_free_tree(res)

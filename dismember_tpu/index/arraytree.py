@@ -53,12 +53,13 @@ class ArrayTree:
         node_id = np.full(total, -1, dtype=np.int32)
         node_prob = np.zeros(total, dtype=np.float32)
         is_leaf = np.zeros(total, dtype=bool)
-        for code, node in loaded.code_nodes.items():
-            if code < total:
-                node_exists[code] = True
-                node_id[code] = node.id
-                node_prob[code] = node.probality
-                is_leaf[code] = node.is_leaf
+        codes = np.asarray(loaded.node_codes, dtype=np.int64)
+        keep = codes < total
+        codes = codes[keep]
+        node_exists[codes] = True
+        node_id[codes] = loaded.node_ids[keep]
+        node_prob[codes] = loaded.node_probs[keep]
+        is_leaf[codes] = loaded.node_is_leaf[keep]
 
         order = np.argsort(loaded.item_ids, kind="stable")
         item_ids = loaded.item_ids[order].astype(np.int32)

@@ -19,12 +19,30 @@ from dismember_tpu.index.proto import IdCodePair, IdCodePart, KVItem, Node, Tree
 
 @dataclasses.dataclass
 class LoadedTree:
-    """Host-side decoded tree (the rebuild's DistTree.loadData result)."""
+    """Host-side decoded tree (the rebuild's DistTree.loadData result).
+
+    Columnar: ``node_*`` arrays hold every code-keyed record (leaves +
+    internal), aligned by position."""
 
     max_level: int
     item_ids: np.ndarray  # [num_items] leaf item ids
     leaf_codes: np.ndarray  # [num_items]
-    code_nodes: dict[int, Node]  # code -> Node (leaves + internal)
+    node_codes: np.ndarray  # [n_nodes]
+    node_ids: np.ndarray  # [n_nodes]
+    node_probs: np.ndarray  # [n_nodes] float32
+    node_is_leaf: np.ndarray  # [n_nodes] bool
+
+    @property
+    def code_nodes(self) -> dict[int, Node]:
+        """Legacy dict view (code -> Node); built on demand."""
+        return {
+            int(c): Node(
+                id=int(i), probality=float(p), is_leaf=bool(l)
+            )
+            for c, i, p, l in zip(
+                self.node_codes, self.node_ids, self.node_probs, self.node_is_leaf
+            )
+        }
 
 
 def sink_leaf_codes(codes: np.ndarray, max_level: int) -> np.ndarray:
@@ -76,14 +94,45 @@ def write_tree(
     ids_sorted = tree_ids[order]
     codes_sorted = leaf_codes[order]
 
-    # ancestor occurrence probabilities (computeNodeOccurrence)
-    pstat: dict[int, float] = {}
+    # leaf probabilities + ancestor occurrence sums (computeNodeOccurrence),
+    # vectorized: walk parent levels accumulating per-code sums
     if stat:
-        for iid, code in zip(ids_sorted, codes_sorted):
-            if int(iid) in stat:
-                cnt = float(stat[int(iid)])
-                for anc in ancestors_of(int(code), max_level):
-                    pstat[anc] = pstat.get(anc, 0.0) + cnt
+        leaf_probs = np.asarray(
+            [float(stat.get(int(i), 1.0)) for i in ids_sorted], dtype=np.float32
+        )
+        leaf_counts = np.asarray(
+            [float(stat[int(i)]) if int(i) in stat else 0.0 for i in ids_sorted],
+            dtype=np.float64,
+        )
+    else:
+        leaf_probs = np.ones(len(ids_sorted), dtype=np.float32)
+        leaf_counts = np.zeros(len(ids_sorted), dtype=np.float64)
+
+    total = (1 << (max_level + 1)) - 1
+    anc_sum = np.zeros(total, dtype=np.float64)
+    anc_seen = np.zeros(total, dtype=bool)
+    cur = codes_sorted.copy()
+    for _ in range(max_level):
+        cur = (cur - 1) >> 1
+        np.add.at(anc_sum, cur, leaf_counts)
+        anc_seen[cur] = True
+    anc_codes = np.flatnonzero(anc_seen).astype(np.int64)
+    if stat:
+        anc_probs = np.where(anc_sum[anc_codes] > 0, anc_sum[anc_codes], 1.0).astype(
+            np.float32
+        )
+    else:
+        anc_probs = np.ones(len(anc_codes), dtype=np.float32)
+    anc_ids = anc_codes + offset
+
+    # fast path: native single-pass writer
+    from dismember_tpu.data.native import write_tree_native
+
+    if write_tree_native(
+        path, ids_sorted, codes_sorted, leaf_probs, anc_codes, anc_ids, anc_probs,
+        max_level,
+    ):
+        return
 
     with open(path, "wb") as f:
 
@@ -94,12 +143,12 @@ def write_tree(
 
         parts: list[IdCodePart] = []
         tmp: list[IdCodePair] = []
-        saved: set[int] = set()
         n = len(ids_sorted)
-        for i, (iid, code) in enumerate(zip(ids_sorted, codes_sorted)):
-            iid, code = int(iid), int(code)
-            prob = float(stat[iid]) if stat and iid in stat else 1.0
-            leaf = Node(id=iid, probality=prob, leaf_cate_id=0, is_leaf=True)
+        for i in range(n):
+            iid, code = int(ids_sorted[i]), int(codes_sorted[i])
+            leaf = Node(
+                id=iid, probality=float(leaf_probs[i]), leaf_cate_id=0, is_leaf=True
+            )
             write_kv(str(code), leaf.encode())
 
             tmp.append(IdCodePair(id=iid, code=code))
@@ -108,16 +157,11 @@ def write_tree(
                 parts.append(IdCodePart(part_id=part_id.encode("utf-8"), id_code_list=list(tmp)))
                 tmp.clear()
 
-            for anc in ancestors_of(code, max_level):
-                if anc not in saved:
-                    node = Node(
-                        id=anc + offset,
-                        probality=pstat.get(anc, 1.0),
-                        leaf_cate_id=0,
-                        is_leaf=False,
-                    )
-                    write_kv(str(anc), node.encode())
-                    saved.add(anc)
+        for anc, aid, aprob in zip(anc_codes, anc_ids, anc_probs):
+            node = Node(
+                id=int(aid), probality=float(aprob), leaf_cate_id=0, is_leaf=False
+            )
+            write_kv(str(int(anc)), node.encode())
 
         for p in parts:
             write_kv(p.part_id.decode("utf-8"), p.encode())
@@ -127,32 +171,26 @@ def write_tree(
 
 def read_tree(path: str) -> LoadedTree:
     """Load a KV tree file, mirroring DistTree.loadData/loadItems."""
+    # fast path: full native decode to columnar arrays
+    from dismember_tpu.data.native import read_tree_native
+
+    native = read_tree_native(path)
+    if native is not None:
+        return LoadedTree(**native)
+
     code_nodes: dict[int, Node] = {}
     parts: list[IdCodePart] = []
     meta: TreeMeta | None = None
     with open(path, "rb") as f:
         data = f.read()
 
-    # record framing scan: native single-pass splitter when available
-    from dismember_tpu.data.native import scan_kv_records_native
-
-    spans = scan_kv_records_native(data)
-    if spans is None:
-        offsets = []
-        lengths = []
-        pos = 0
-        n = len(data)
-        while pos + 4 <= n:
-            (rec_len,) = struct.unpack(">i", data[pos : pos + 4])
-            pos += 4
-            offsets.append(pos)
-            lengths.append(rec_len)
-            pos += rec_len
-    else:
-        offsets, lengths = spans
-
-    for off, rec_len in zip(offsets, lengths):
-        item = KVItem.decode(data[off : off + rec_len])
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        (rec_len,) = struct.unpack(">i", data[pos : pos + 4])
+        pos += 4
+        item = KVItem.decode(data[pos : pos + rec_len])
+        pos += rec_len
         key = item.key.decode("utf-8")
         if key.startswith("tree_meta"):
             meta = TreeMeta.decode(item.value)
@@ -165,11 +203,19 @@ def read_tree(path: str) -> LoadedTree:
     pairs = [p for part in parts for p in part.id_code_list]
     item_ids = np.asarray([p.id for p in pairs], dtype=np.int64)
     leaf_codes = np.asarray([p.code for p in pairs], dtype=np.int64)
+    codes = np.asarray(sorted(code_nodes), dtype=np.int64)
     return LoadedTree(
         max_level=meta.max_level,
         item_ids=item_ids,
         leaf_codes=leaf_codes,
-        code_nodes=code_nodes,
+        node_codes=codes,
+        node_ids=np.asarray([code_nodes[int(c)].id for c in codes], dtype=np.int64),
+        node_probs=np.asarray(
+            [code_nodes[int(c)].probality for c in codes], dtype=np.float32
+        ),
+        node_is_leaf=np.asarray(
+            [code_nodes[int(c)].is_leaf for c in codes], dtype=bool
+        ),
     )
 
 

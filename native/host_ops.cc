@@ -245,3 +245,314 @@ int64_t dm_scan_kv_records(const uint8_t* data, int64_t size,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native tree KV codec: full encode/decode of the reference's tree file
+// format (TreeBuilder.scala framing + tree.proto messages) — the Python
+// proto codec is the bottleneck at million-item scale.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void put_varint(std::string& out, uint64_t v) {
+  while (true) {
+    uint8_t b = v & 0x7F;
+    v >>= 7;
+    if (v) {
+      out.push_back(static_cast<char>(b | 0x80));
+    } else {
+      out.push_back(static_cast<char>(b));
+      return;
+    }
+  }
+}
+
+inline void put_tag(std::string& out, int field, int wtype) {
+  put_varint(out, (static_cast<uint64_t>(field) << 3) | wtype);
+}
+
+inline void put_len_delim(std::string& out, int field, const std::string& payload) {
+  put_tag(out, field, 2);
+  put_varint(out, payload.size());
+  out += payload;
+}
+
+inline void put_float(std::string& out, int field, float v) {
+  put_tag(out, field, 5);
+  char buf[4];
+  memcpy(buf, &v, 4);
+  out.append(buf, 4);
+}
+
+std::string encode_node(int64_t id, float prob, bool is_leaf) {
+  std::string out;
+  if (id != 0) {
+    put_tag(out, 1, 0);
+    put_varint(out, static_cast<uint64_t>(id));
+  }
+  if (prob != 0.0f) put_float(out, 2, prob);
+  if (is_leaf) {
+    put_tag(out, 4, 0);
+    put_varint(out, 1);
+  }
+  return out;
+}
+
+void write_kv(std::string& out, const std::string& key, const std::string& value) {
+  std::string rec;
+  put_len_delim(rec, 1, key);
+  put_len_delim(rec, 2, value);
+  uint32_t len = static_cast<uint32_t>(rec.size());
+  char hdr[4] = {static_cast<char>(len >> 24), static_cast<char>(len >> 16),
+                 static_cast<char>(len >> 8), static_cast<char>(len)};
+  out.append(hdr, 4);
+  out += rec;
+}
+
+inline uint64_t get_varint(const uint8_t*& p) {
+  uint64_t v = 0;
+  int shift = 0;
+  while (true) {
+    uint8_t b = *p++;
+    v |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) return v;
+    shift += 7;
+  }
+}
+
+}  // namespace
+
+// Write a full tree file.  Leaves: parallel arrays (item id, bottom-level
+// code, prob), sorted by code by the caller.  Ancestors: (code, id, prob).
+// part_size mirrors the 512-pair Part_i chunking; max_level for tree_meta.
+extern "C" int64_t dm_write_tree(const char* path, int64_t n_leaves,
+                                 const int64_t* leaf_ids,
+                                 const int64_t* leaf_codes,
+                                 const float* leaf_probs, int64_t n_anc,
+                                 const int64_t* anc_codes,
+                                 const int64_t* anc_ids,
+                                 const float* anc_probs, int32_t max_level) {
+  std::string out;
+  out.reserve(static_cast<size_t>((n_leaves + n_anc) * 48));
+  std::vector<std::string> parts;
+  std::string cur_part;
+  int64_t pairs_in_part = 0;
+
+  // interleave leaves with first-seen ancestors like the reference writer;
+  // ancestors are supplied pre-deduplicated, so just append them after their
+  // first leaf is irrelevant — order of records does not matter to readers.
+  for (int64_t i = 0; i < n_leaves; i++) {
+    write_kv(out, std::to_string(leaf_codes[i]),
+             encode_node(leaf_ids[i], leaf_probs[i], true));
+    // IdCodePair into the current part
+    std::string pair;
+    if (leaf_ids[i] != 0) {
+      put_tag(pair, 1, 0);
+      put_varint(pair, static_cast<uint64_t>(leaf_ids[i]));
+    }
+    if (leaf_codes[i] != 0) {
+      put_tag(pair, 2, 0);
+      put_varint(pair, static_cast<uint64_t>(leaf_codes[i]));
+    }
+    put_len_delim(cur_part, 2, pair);
+    pairs_in_part++;
+    if (pairs_in_part == 512 || i == n_leaves - 1) {
+      parts.push_back(std::move(cur_part));
+      cur_part.clear();
+      pairs_in_part = 0;
+    }
+  }
+  for (int64_t i = 0; i < n_anc; i++) {
+    write_kv(out, std::to_string(anc_codes[i]),
+             encode_node(anc_ids[i], anc_probs[i], false));
+  }
+  std::string meta;
+  if (max_level != 0) {
+    put_tag(meta, 1, 0);
+    put_varint(meta, static_cast<uint64_t>(max_level));
+  }
+  for (size_t pi = 0; pi < parts.size(); pi++) {
+    std::string part_id = "Part_" + std::to_string(pi + 1);
+    std::string part;
+    put_len_delim(part, 1, part_id);
+    part += parts[pi];
+    write_kv(out, part_id, part);
+    put_len_delim(meta, 2, part_id);
+  }
+  write_kv(out, "tree_meta", meta);
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  size_t written = fwrite(out.data(), 1, out.size(), f);
+  fclose(f);
+  return written == out.size() ? static_cast<int64_t>(n_leaves + n_anc) : -1;
+}
+
+struct TreeDecodeResult {
+  int32_t max_level;
+  int64_t n_nodes;   // numeric-key records
+  int64_t n_pairs;   // id/code pairs from Part_i records
+  int64_t* node_codes;
+  int64_t* node_ids;
+  float* node_probs;
+  uint8_t* node_is_leaf;
+  int64_t* pair_ids;
+  int64_t* pair_codes;
+};
+
+extern "C" TreeDecodeResult* dm_read_tree(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  std::vector<int64_t> node_codes, node_ids, pair_ids, pair_codes;
+  std::vector<float> node_probs;
+  std::vector<uint8_t> node_leaf;
+  int32_t max_level = 0;
+
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(buf.data());
+  const uint8_t* end = p + size;
+  while (p + 4 <= end) {
+    uint32_t rec_len = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
+    p += 4;
+    if (p + rec_len > end) break;
+    const uint8_t* rp = p;
+    const uint8_t* rend = p + rec_len;
+    p += rec_len;
+    // KVItem: field 1 = key bytes, field 2 = value bytes
+    const uint8_t* key = nullptr;
+    size_t key_len = 0;
+    const uint8_t* val = nullptr;
+    size_t val_len = 0;
+    while (rp < rend) {
+      uint64_t tag = get_varint(rp);
+      uint64_t len = get_varint(rp);
+      if ((tag >> 3) == 1) {
+        key = rp;
+        key_len = len;
+      } else if ((tag >> 3) == 2) {
+        val = rp;
+        val_len = len;
+      }
+      rp += len;
+    }
+    if (!key) continue;
+    if (key_len >= 5 && memcmp(key, "Part_", 5) == 0) {
+      // IdCodePart: field 2 repeated IdCodePair
+      const uint8_t* vp = val;
+      const uint8_t* vend = val + val_len;
+      while (vp < vend) {
+        uint64_t tag = get_varint(vp);
+        int field = static_cast<int>(tag >> 3);
+        int wt = static_cast<int>(tag & 7);
+        if (wt == 2) {
+          uint64_t len = get_varint(vp);
+          if (field == 2) {
+            const uint8_t* pp = vp;
+            const uint8_t* pend = vp + len;
+            int64_t pid = 0, pcode = 0;
+            while (pp < pend) {
+              uint64_t ptag = get_varint(pp);
+              uint64_t pv = get_varint(pp);
+              if ((ptag >> 3) == 1) pid = static_cast<int64_t>(pv);
+              if ((ptag >> 3) == 2) pcode = static_cast<int64_t>(pv);
+            }
+            pair_ids.push_back(pid);
+            pair_codes.push_back(pcode);
+          }
+          vp += len;
+        } else {
+          get_varint(vp);
+        }
+      }
+    } else if (key_len == 9 && memcmp(key, "tree_meta", 9) == 0) {
+      const uint8_t* vp = val;
+      const uint8_t* vend = val + val_len;
+      while (vp < vend) {
+        uint64_t tag = get_varint(vp);
+        int wt = static_cast<int>(tag & 7);
+        if (wt == 0) {
+          uint64_t v = get_varint(vp);
+          if ((tag >> 3) == 1) max_level = static_cast<int32_t>(v);
+        } else if (wt == 2) {
+          uint64_t len = get_varint(vp);
+          vp += len;
+        }
+      }
+    } else {
+      // numeric code key -> Node
+      bool numeric = key_len > 0;
+      for (size_t k = 0; k < key_len; k++) {
+        if (key[k] < '0' || key[k] > '9') {
+          numeric = false;
+          break;
+        }
+      }
+      if (!numeric) continue;
+      int64_t code = strtoll(std::string(reinterpret_cast<const char*>(key),
+                                         key_len).c_str(), nullptr, 10);
+      const uint8_t* vp = val;
+      const uint8_t* vend = val + val_len;
+      int64_t nid = 0;
+      float prob = 0.0f;
+      uint8_t leaf = 0;
+      while (vp < vend) {
+        uint64_t tag = get_varint(vp);
+        int field = static_cast<int>(tag >> 3);
+        int wt = static_cast<int>(tag & 7);
+        if (wt == 0) {
+          uint64_t v = get_varint(vp);
+          if (field == 1) nid = static_cast<int64_t>(static_cast<int32_t>(v));
+          if (field == 4) leaf = v ? 1 : 0;
+        } else if (wt == 5) {
+          if (field == 2) memcpy(&prob, vp, 4);
+          vp += 4;
+        } else if (wt == 2) {
+          uint64_t len = get_varint(vp);
+          vp += len;
+        }
+      }
+      node_codes.push_back(code);
+      node_ids.push_back(nid);
+      node_probs.push_back(prob);
+      node_leaf.push_back(leaf);
+    }
+  }
+
+  auto* res = new TreeDecodeResult();
+  res->max_level = max_level;
+  res->n_nodes = static_cast<int64_t>(node_codes.size());
+  res->n_pairs = static_cast<int64_t>(pair_ids.size());
+  res->node_codes = new int64_t[node_codes.size()];
+  res->node_ids = new int64_t[node_ids.size()];
+  res->node_probs = new float[node_probs.size()];
+  res->node_is_leaf = new uint8_t[node_leaf.size()];
+  res->pair_ids = new int64_t[pair_ids.size()];
+  res->pair_codes = new int64_t[pair_codes.size()];
+  memcpy(res->node_codes, node_codes.data(), node_codes.size() * 8);
+  memcpy(res->node_ids, node_ids.data(), node_ids.size() * 8);
+  memcpy(res->node_probs, node_probs.data(), node_probs.size() * 4);
+  memcpy(res->node_is_leaf, node_leaf.data(), node_leaf.size());
+  memcpy(res->pair_ids, pair_ids.data(), pair_ids.size() * 8);
+  memcpy(res->pair_codes, pair_codes.data(), pair_codes.size() * 8);
+  return res;
+}
+
+extern "C" void dm_free_tree(TreeDecodeResult* res) {
+  if (!res) return;
+  delete[] res->node_codes;
+  delete[] res->node_ids;
+  delete[] res->node_probs;
+  delete[] res->node_is_leaf;
+  delete[] res->pair_ids;
+  delete[] res->pair_codes;
+  delete res;
+}
