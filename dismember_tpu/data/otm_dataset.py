@@ -98,6 +98,7 @@ def build_otm_data(
     label_num: int = 5,
     seed: int = 42,
     mapping: tuple[dict[int, int], dict[int, int]] | None = None,
+    data_mode: str = "default",
 ) -> OTMData:
     raw = read_csv(data_path)
     rng = np.random.default_rng(seed)
@@ -131,6 +132,36 @@ def build_otm_data(
     user_consumed: dict[int, np.ndarray] = {}
 
     pad = np.full(seq_len - min_seq_len, PADDING_IDX, dtype=np.int64)
+
+    if data_mode == "one_user_sample":
+        # OTM's alternate mode (LocalDataSet.generateOneSamplePerUser:44-67):
+        # one sample per user — first seq_len items are the sequence, the rest
+        # are labels; the sample set is shuffled and split by ratio.
+        all_samples: list[tuple[np.ndarray, np.ndarray, int]] = []
+        for items_u, user in zip(groups, group_users):
+            _, fi = np.unique(items_u, return_index=True)
+            distinct = items_u[np.sort(fi)]
+            codes = np.asarray(
+                [item_to_code[int(i)] for i in distinct], dtype=np.int64
+            )
+            if len(codes) > seq_len:
+                seq, labels = codes[:seq_len], codes[seq_len:]
+                all_samples.append((seq, labels, int(user)))
+                user_consumed[int(user)] = seq
+        order = rng.permutation(len(all_samples))
+        split_point = int(len(all_samples) * split_ratio)
+        for k, oi in enumerate(order):
+            seq, labels, user = all_samples[oi]
+            if k < split_point:
+                train_seqs.append(seq)
+                train_labels.append(labels[:label_num].tolist())
+                train_users.append(user)
+            else:
+                eval_seqs.append(seq)
+                eval_labels.append(labels)
+                eval_users.append(user)
+        groups = []  # default loop below skipped
+
     for items_u, user in zip(groups, group_users):
         _, fi = np.unique(items_u, return_index=True)
         distinct = items_u[np.sort(fi)]

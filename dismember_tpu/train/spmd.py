@@ -28,6 +28,65 @@ def padded_num_index(num_index: int, mesh) -> int:
     return meshlib.round_up(num_index, mesh.shape[meshlib.MODEL_AXIS])
 
 
+def pad_embedding_rows(params, mesh):
+    """Zero-pad the embedding table's rows to a 'model'-axis multiple so it
+    row-shards evenly (padding rows are never addressed: codes < num_index)."""
+    import jax.numpy as jnp
+
+    emb = params["embedding"]
+    target = meshlib.round_up(emb.shape[0], mesh.shape[meshlib.MODEL_AXIS])
+    if target == emb.shape[0]:
+        return params
+    out = dict(params)
+    out["embedding"] = jnp.pad(emb, ((0, target - emb.shape[0]), (0, 0)))
+    return out
+
+
+def make_sharded_beam_fn(
+    forward,
+    tree,
+    beam: int,
+    mesh,
+    params,
+    precompute=None,
+    apply=None,
+):
+    """Serving over the mesh: query batch sharded on 'data', the node/item
+    embedding table row-sharded on 'model' (north-star P3).  GSPMD lays the
+    frontier's arbitrary-row gathers onto ICI collectives (all-to-all style
+    exchange between table shards).  Returns (beam_fn, sharded_params);
+    the batch size must divide the 'data' axis.
+    """
+    from jax.sharding import NamedSharding
+
+    from dismember_tpu.retrieval.tree_beam import beam_search_batch, make_config
+
+    params = pad_embedding_rows(params, mesh)
+    pspec = meshlib.param_spec(params)
+    pshard = meshlib.shard_like(pspec, mesh)
+    params = jax.device_put(params, pshard)
+    bshard = NamedSharding(mesh, meshlib.batch_spec())
+    rep = NamedSharding(mesh, P())
+    cfg = make_config(tree, beam)
+    import jax.numpy as jnp
+
+    node_exists = jax.device_put(jnp.asarray(tree.node_exists), rep)
+    node_id = jax.device_put(jnp.asarray(tree.node_id), rep)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(pshard, bshard),
+        out_shardings=(bshard, bshard),
+    )
+    def run(p, seq_codes):
+        return beam_search_batch(
+            forward, p, seq_codes, node_exists, node_id, cfg,
+            precompute=precompute, apply=apply,
+        )
+
+    return run, params
+
+
 def make_sharded_train_step(
     forward: Callable,
     sampler,

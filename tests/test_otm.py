@@ -139,3 +139,17 @@ def test_otm_end_to_end(tiny_otm):
         assert len(np.unique(r)) == len(r)
         # recommendations are raw item ids
         assert all(int(x) in d.item_to_code for x in r)
+
+
+def test_one_user_sample_mode(small_csv):
+    d = build_otm_data(
+        small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8,
+        leaf_init_mode="random", label_num=5, seed=7, data_mode="one_user_sample",
+    )
+    # one sample per user across train+eval
+    total = len(d.train_users) + len(d.eval_users)
+    assert total == len(np.unique(np.concatenate([d.train_users, d.eval_users])))
+    assert abs(len(d.train_users) - 0.8 * total) <= 1
+    # sequences are exactly the first seq_len items (no padding for users with
+    # > seq_len interactions)
+    assert (d.train_seqs >= 0).all()

@@ -94,3 +94,15 @@ def test_compress_roundtrip():
     np.testing.assert_allclose(
         np.asarray(decompress(s)["b"]), 2 * np.ones((3, 3)), atol=1e-2
     )
+
+
+def test_io_local_roundtrip(tmp_path):
+    from dismember_tpu.core.io import exists, open_file, read_bytes, write_bytes
+
+    p = str(tmp_path / "sub" / "x.bin")
+    write_bytes(p, b"abc")  # auto-creates parent dir
+    assert exists(p)
+    assert read_bytes(p) == b"abc"
+    with open_file(p, "rb") as f:
+        assert f.read() == b"abc"
+    assert not exists(str(tmp_path / "nope"))

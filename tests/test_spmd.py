@@ -92,3 +92,34 @@ def test_sharded_train_step_matches_single_device(tiny_tree):
         np.asarray(expected_params["embedding"]),
         rtol=2e-4, atol=1e-6,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_beam_matches_unsharded(tiny_tree):
+    """Row-sharded table + data-sharded batch must reproduce the single-
+    device beam search exactly."""
+    from dismember_tpu.models import din as din_mod
+    from dismember_tpu.retrieval.tree_beam import make_beam_fn
+    from dismember_tpu.train.spmd import make_sharded_beam_fn
+
+    tree = tiny_tree
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    num_index = (1 << (tree.max_level + 1)) - 1
+    params = din_mod.init_params(jax.random.PRNGKey(0), num_index, 16)
+
+    rng = np.random.default_rng(1)
+    seqs = tree.ids_to_codes(rng.integers(1, 33, size=(8, 10)))
+
+    ref_fn = make_beam_fn(
+        din_mod.forward, tree, 4,
+        precompute=din_mod.precompute_seq, apply=din_mod.apply_with_ctx,
+    )
+    ref_ids, ref_scores = jax.device_get(ref_fn(params, jnp.asarray(seqs)))
+
+    sh_fn, sh_params = make_sharded_beam_fn(
+        din_mod.forward, tree, 4, mesh, params,
+        precompute=din_mod.precompute_seq, apply=din_mod.apply_with_ctx,
+    )
+    got_ids, got_scores = jax.device_get(sh_fn(sh_params, jnp.asarray(seqs)))
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-5)
