@@ -141,6 +141,24 @@ class ArrayTree:
         out[leaf_codes < 0, :] = -1
         return out
 
+    @property
+    def node_meta(self) -> np.ndarray:
+        """float32 [total_codes, 2] rows: (exists, node id).
+
+        TPU gathers of 1-D scalar arrays hit a pathological path (~100x
+        slower than row gathers); packing per-code metadata into 2-D float
+        rows makes frontier existence checks and the final leaf-id readout
+        fast.  float32 holds ids exactly up to 2^24 — fine for leaf item ids
+        (the only ids read through this table); use ``node_id`` directly for
+        internal pseudo-ids of gigantic catalogs.
+        """
+        if not hasattr(self, "_node_meta"):
+            m = np.zeros((self.total_codes, 2), np.float32)
+            m[:, 0] = self.node_exists
+            m[:, 1] = self.node_id
+            self._node_meta = m
+        return self._node_meta
+
     def codes_to_item_ids(self, codes: np.ndarray) -> np.ndarray:
         """Leaf codes -> item ids (-1 for non-existent)."""
         codes = np.asarray(codes, dtype=np.int64)

@@ -70,8 +70,7 @@ def make_sharded_beam_fn(
     cfg = make_config(tree, beam)
     import jax.numpy as jnp
 
-    node_exists = jax.device_put(jnp.asarray(tree.node_exists), rep)
-    node_id = jax.device_put(jnp.asarray(tree.node_id), rep)
+    node_meta = jax.device_put(jnp.asarray(tree.node_meta), rep)
 
     @functools.partial(
         jax.jit,
@@ -80,7 +79,7 @@ def make_sharded_beam_fn(
     )
     def run(p, seq_codes):
         return beam_search_batch(
-            forward, p, seq_codes, node_exists, node_id, cfg,
+            forward, p, seq_codes, node_meta, cfg,
             precompute=precompute, apply=apply,
         )
 
