@@ -51,6 +51,8 @@ def path_beam_search(
     paths = top_n[:, :, None].astype(jnp.int32)  # [B, beam, 1]
     probs = top_p  # [B, beam]
 
+    from dismember_tpu.retrieval.tree_beam import onehot_select
+
     for d in range(1, num_layers):
         logits = layer_forward_beam(
             params, seq_parts[d], paths, d, num_items, num_nodes
@@ -61,7 +63,10 @@ def path_beam_search(
         top_p, top_idx = jax.lax.top_k(flat, beam)
         which_path = top_idx // num_nodes  # [B, beam]
         which_node = (top_idx % num_nodes).astype(jnp.int32)
-        prev = jnp.take_along_axis(paths, which_path[:, :, None], axis=1)
+        # gather the surviving prefixes with a one-hot contraction
+        prev = jnp.stack(
+            [onehot_select(paths[:, :, i], which_path) for i in range(d)], axis=2
+        )
         paths = jnp.concatenate([prev, which_node[:, :, None]], axis=2)
         probs = top_p
 

@@ -33,6 +33,19 @@ from dismember_tpu.index.arraytree import ArrayTree
 _NEG_INF = jnp.float32(-3.4e38)
 
 
+def onehot_select(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise integer selection ``values[b, idx[b, k]]`` as a one-hot
+    contraction — take_along_axis compiles to a pathological scalar gather
+    on TPU (~100x slower than this for small widths).
+
+    values [B, W] int/float, idx [B, K] -> [B, K] (dtype preserved).
+    """
+    w = values.shape[-1]
+    iota = jnp.arange(w, dtype=idx.dtype)
+    onehot = (idx[..., :, None] == iota).astype(values.dtype)
+    return jnp.einsum("...kw,...w->...k", onehot, values)
+
+
 @dataclasses.dataclass(frozen=True)
 class TreeBeamConfig:
     beam: int  # candidate_num in the reference
@@ -93,16 +106,13 @@ def beam_search_batch(
     )
     valid = frontier >= 0
     scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
-    iota_w = jnp.arange(width, dtype=jnp.int32)
     max_code = node_meta.shape[0] - 1
 
     def level_body(carry, _):
         frontier, scores = carry
         top_scores, top_idx = jax.lax.top_k(scores, cfg.beam)  # [B, beam]
-        # one-hot select (take_along_axis is a pathological gather on TPU);
-        # int32 contraction keeps codes exact at any tree depth
-        onehot = (top_idx[:, :, None] == iota_w[None, None, :]).astype(jnp.int32)
-        top_codes = jnp.sum(onehot * frontier[:, None, :], axis=-1)  # [B, beam]
+        # int32 one-hot contraction keeps codes exact at any tree depth
+        top_codes = onehot_select(frontier, top_idx)  # [B, beam]
         top_alive = top_scores > _NEG_INF / 2
         # children: [B, beam, 2] -> [B, 2*beam]
         children = jnp.stack([2 * top_codes + 1, 2 * top_codes + 2], axis=-1).reshape(

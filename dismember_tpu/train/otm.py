@@ -141,10 +141,12 @@ class OTMTrainer:
         valid = nodes >= 0
         logits = self.forward(params, jnp.where(valid, nodes, -1), seqs)
         scores = jnp.where(valid, logits, _NEG_INF)
+        from dismember_tpu.retrieval.tree_beam import onehot_select
+
         all_nodes, all_scores = [nodes], [scores]
         for _ in range(1, self.n_levels):
             _, top_idx = jax.lax.top_k(scores, self.beam)
-            top_codes = jnp.take_along_axis(nodes, top_idx, axis=1)
+            top_codes = onehot_select(nodes, top_idx)
             nodes = jnp.stack([2 * top_codes + 1, 2 * top_codes + 2], -1).reshape(
                 b, width
             )
