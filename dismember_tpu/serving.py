@@ -106,6 +106,35 @@ class DRServing:
     def __init__(self, trainer):
         self._trainer = trainer
         self._p2i = trainer.path_index.path_to_items()
+        self._device_fns: dict[tuple, object] = {}
+
+    def device_serving_fn(self, topk: int = 10, beam: int | None = None):
+        """Jitted on-device batch serving (retrieval.dr_serve); ~3000x the
+        host path's throughput.  None when the dense path table is too big.
+        Cached per (topk, beam)."""
+        key = (topk, beam)
+        if key not in self._device_fns:
+            from dismember_tpu.retrieval.dr_serve import make_dr_serving_fn
+
+            self._device_fns[key] = make_dr_serving_fn(
+                self._trainer, beam=beam, topk=topk
+            )
+        return self._device_fns[key]
+
+    def recommend_batch_device(self, seqs, topk: int = 10):
+        import jax.numpy as jnp
+
+        fn = self.device_serving_fn(topk=topk)
+        if fn is None:
+            return [
+                self.recommend(s, topk=topk) for s in seqs
+            ]
+        ids, _scores = fn(
+            self._trainer.layer_params,
+            self._trainer.rerank_params,
+            jnp.asarray(seqs, jnp.int32),
+        )
+        return np.asarray(ids)
 
     @classmethod
     def load(

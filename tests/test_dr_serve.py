@@ -1,0 +1,72 @@
+"""On-device DR serving: equivalence with the host path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dismember_tpu.data.dr_dataset import build_dr_data
+from dismember_tpu.retrieval.dr_serve import DevicePathMap, make_dr_serving_fn
+from dismember_tpu.train.dr import DRTrainer
+
+
+@pytest.fixture(scope="module")
+def trained(small_csv):
+    data = build_dr_data(small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8)
+    tr = DRTrainer(
+        data, num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        learning_rate=1e-2, train_batch_size=1024, beam_size=10, topk=5, seed=0,
+    )
+    tr.train(num_epochs=1)
+    return tr
+
+
+def test_device_path_map(trained):
+    dmap = DevicePathMap.build(trained.path_index)
+    assert dmap is not None
+    p2i = trained.path_index.path_to_items()
+    # spot-check a few paths
+    table = np.asarray(dmap.path_table)
+    items = np.asarray(dmap.path_items)
+    k = trained.num_nodes
+    for path, expect in list(p2i.items())[:10]:
+        key = 0
+        for d in path:
+            key = key * k + d
+        row = table[key]
+        assert row >= 0
+        got = items[row][items[row] >= 0]
+        assert set(got.tolist()) == set(expect)
+
+
+def test_device_serving_matches_host(trained):
+    tr = trained
+    fn = make_dr_serving_fn(tr, topk=5)
+    assert fn is not None
+    seqs = tr.data.eval_seqs[:16]
+    dev_ids, dev_scores = fn(
+        tr.layer_params, tr.rerank_params, jnp.asarray(seqs, jnp.int32)
+    )
+    dev_ids = np.asarray(dev_ids)
+    host = tr.recommend_batch(seqs, topk=5)
+    for i in range(len(seqs)):
+        want = host[i]
+        got = dev_ids[i][dev_ids[i] >= 0]
+        # same candidate sets and same score-ordering => same top-k
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_serving_consumed_filter(trained):
+    tr = trained
+    fn = make_dr_serving_fn(tr, topk=5)
+    seqs = tr.data.eval_seqs[:4]
+    base_ids, _ = fn(tr.layer_params, tr.rerank_params, jnp.asarray(seqs, jnp.int32))
+    base_ids = np.asarray(base_ids)
+    # consume the top item of row 0
+    consumed = np.full((4, 2), -1, dtype=np.int32)
+    consumed[0, 0] = base_ids[0, 0]
+    out_ids, _ = fn(
+        tr.layer_params, tr.rerank_params, jnp.asarray(seqs, jnp.int32),
+        jnp.asarray(consumed),
+    )
+    out_ids = np.asarray(out_ids)
+    assert base_ids[0, 0] not in out_ids[0]
