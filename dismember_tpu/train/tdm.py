@@ -78,12 +78,30 @@ class TDMTrainer:
     topk: int = 10
     beam_size: int = 20
     seed: int = 0
+    mesh: object = None  # jax.sharding.Mesh -> SPMD train step (spmd.py)
 
     def __post_init__(self):
         key = jax.random.PRNGKey(self.seed)
-        self.params, self.forward = build_model(
-            self.model_type, self.tree.max_level, self.embed_size, self.seq_len, key
-        )
+        num_levels = self.tree.max_level
+        if self.mesh is not None:
+            from dismember_tpu.train import spmd
+
+            # pad the node table so it row-shards over the 'model' axis
+            num_index = spmd.padded_num_index(
+                (1 << (num_levels + 1)) - 1, self.mesh
+            )
+            if self.model_type == "din":
+                self.params = din.init_params(key, num_index, self.embed_size)
+                self.forward = din.forward
+            else:
+                self.params = deepfm.init_params(
+                    key, num_index, self.embed_size, self.seq_len
+                )
+                self.forward = deepfm.forward
+        else:
+            self.params, self.forward = build_model(
+                self.model_type, num_levels, self.embed_size, self.seq_len, key
+            )
         self.sampler = TreeSampler.build(
             self.tree,
             self.layer_neg_counts,
@@ -91,11 +109,27 @@ class TDMTrainer:
             with_prob=self.sample_with_prob,
         )
         self.num_targets_per_batch = max(1, self.total_batch_size // self.sampler.unit)
+        if self.mesh is not None:
+            # batch must split across the 'data' axis
+            from dismember_tpu.core.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            self.num_targets_per_batch = max(
+                n_data, self.num_targets_per_batch // n_data * n_data
+            )
         self.optimizer = optax.adam(
             self.learning_rate, b1=0.9, b2=0.999, eps=1e-8
         )
         self.opt_state = self.optimizer.init(self.params)
-        self._train_step = self._make_train_step()
+        if self.mesh is not None:
+            from dismember_tpu.train.spmd import make_sharded_train_step
+
+            self._train_step, self.params, self.opt_state = make_sharded_train_step(
+                self.forward, self.sampler, self.optimizer, self.mesh,
+                self.params, self.opt_state,
+            )
+        else:
+            self._train_step = self._make_train_step()
         self._eval_loss_step = self._make_eval_loss_step()
         self._beam_fn = None
         self._beam_fn_width = None

@@ -123,3 +123,25 @@ def test_sharded_beam_matches_unsharded(tiny_tree):
     got_ids, got_scores = jax.device_get(sh_fn(sh_params, jnp.asarray(seqs)))
     np.testing.assert_array_equal(got_ids, ref_ids)
     np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_with_mesh(tiny_tree):
+    """TDMTrainer(mesh=...) trains via the SPMD step and serves correctly."""
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    tree = tiny_tree
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    tr = TDMTrainer(
+        tree=tree, model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=512, layer_neg_counts="0,1,2,3,4,5", topk=5,
+        beam_size=8, mesh=mesh,
+    )
+    assert tr.num_targets_per_batch % 4 == 0
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(1, 33, size=(64, 10))
+    targets = rng.integers(1, 33, size=64)
+    logs = tr.train(seqs, targets, iterations=8, progress_interval=4)
+    assert all(np.isfinite(l["train_loss"]) for l in logs)
+    rec = tr.recommend(seqs[0], topk=5)
+    assert len(rec) == 5
