@@ -148,14 +148,17 @@ def make_beam_fn(
     cfg = make_config(tree, beam)
     node_meta = jnp.asarray(tree.node_meta)
 
+    # node_meta is an explicit argument (not a closure constant): closed-over
+    # arrays are baked into the serialized program, which breaks large
+    # catalogs (a 10M-item tree's meta table is ~270MB of program constant)
     @jax.jit
-    def run(params, seq_codes):
+    def run(params, seq_codes, meta):
         return beam_search_batch(
-            forward, params, seq_codes, node_meta, cfg,
+            forward, params, seq_codes, meta, cfg,
             precompute=precompute, apply=apply,
         )
 
-    return run
+    return lambda params, seq_codes: run(params, seq_codes, node_meta)
 
 
 def filter_topk(

@@ -123,13 +123,15 @@ class TreeSampler:
             unit_labels=np.asarray(labels, dtype=np.float32),
         )
 
-    def _sample_rejection(self, key, pos, level, neg):
+    def _sample_rejection(self, key, pos, level, neg, node_exists=None):
         """Oversampled uniform draws + validity/dup masking; [B, neg]."""
+        if node_exists is None:
+            node_exists = self.node_exists
         b = pos.shape[0]
         m = self.oversample * neg + 8
         lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
         cand = jax.random.randint(key, (b, m), lo, hi, dtype=jnp.int32)
-        exists = self.node_exists[cand]
+        exists = node_exists[cand]
         not_pos = cand != pos[:, None]
         # first-occurrence mask within the row (O(m^2) compare; m is small)
         eq = cand[:, :, None] == cand[:, None, :]
@@ -143,15 +145,46 @@ class TreeSampler:
         picked = jnp.take_along_axis(cand, order, axis=1)
         return jnp.where(picked_ok, picked, -1), picked_ok.astype(jnp.float32)
 
+    def device_state(self):
+        """Sampler arrays as a pytree, for passing into jitted steps as an
+        explicit argument — closed-over arrays are baked into the serialized
+        program as constants, which bloats (and can break) compilation for
+        multi-million-item catalogs."""
+        return {
+            "tables": tuple(t for t in self.level_tables if t is not None),
+            "logits": tuple(l for l in self.level_logits if l is not None),
+            "node_exists": self.node_exists,
+        }
+
     def sample(
-        self, key: jax.Array, target_codes: jnp.ndarray
+        self,
+        key: jax.Array,
+        target_codes: jnp.ndarray,
+        state: dict | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Draw the per-level positives + negatives for a batch of targets.
 
         target_codes: [B] bottom-level leaf codes.
         Returns (codes [B, U], labels [B, U], weights [B, U]); weights are 0
         for padded/unfillable rows (level candidate pool too small).
+
+        Pass ``state=device_state()`` (as a jit argument) to avoid baking the
+        candidate tables into the compiled program.
         """
+        if state is not None:
+            tables = iter(state["tables"])
+            logits_it = iter(state["logits"])
+            level_tables = [
+                next(tables) if t is not None else None for t in self.level_tables
+            ]
+            level_logits = [
+                next(logits_it) if l is not None else None for l in self.level_logits
+            ]
+            node_exists = state["node_exists"]
+        else:
+            level_tables = self.level_tables
+            level_logits = self.level_logits
+            node_exists = self.node_exists
         b = target_codes.shape[0]
         parts_codes: list[jnp.ndarray] = []
         parts_weights: list[jnp.ndarray] = []
@@ -166,8 +199,8 @@ class TreeSampler:
             if neg == 0:
                 continue
             if self.level_exact[i]:
-                table = self.level_tables[i]
-                base = self.level_logits[i]
+                table = level_tables[i]
+                base = level_logits[i]
                 g = -jnp.log(
                     -jnp.log(
                         jax.random.uniform(
@@ -183,7 +216,9 @@ class TreeSampler:
                 parts_codes.append(jnp.where(ok, codes, -1))
                 parts_weights.append(ok.astype(jnp.float32))
             else:
-                codes, ok = self._sample_rejection(keys[i], pos, level, neg)
+                codes, ok = self._sample_rejection(
+                    keys[i], pos, level, neg, node_exists
+                )
                 parts_codes.append(codes)
                 parts_weights.append(ok)
         codes = jnp.concatenate(parts_codes, axis=1)

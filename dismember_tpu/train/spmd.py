@@ -74,16 +74,16 @@ def make_sharded_beam_fn(
 
     @functools.partial(
         jax.jit,
-        in_shardings=(pshard, bshard),
+        in_shardings=(pshard, bshard, rep),
         out_shardings=(bshard, bshard),
     )
-    def run(p, seq_codes):
+    def run(p, seq_codes, meta):
         return beam_search_batch(
-            forward, p, seq_codes, node_meta, cfg,
+            forward, p, seq_codes, meta, cfg,
             precompute=precompute, apply=apply,
         )
 
-    return run, params
+    return (lambda p, seq_codes: run(p, seq_codes, node_meta)), params
 
 
 def make_sharded_train_step(
@@ -107,15 +107,17 @@ def make_sharded_train_step(
     opt_state = jax.device_put(opt_state, oshard)
     bshard = NamedSharding(mesh, meshlib.batch_spec())
     rshard = NamedSharding(mesh, P())
+    sampler_state = sampler.device_state()
+    sstate_shard = jax.tree.map(lambda _: rshard, sampler_state)
 
     @functools.partial(
         jax.jit,
-        in_shardings=(pshard, oshard, rshard, bshard, bshard),
+        in_shardings=(pshard, oshard, rshard, bshard, bshard, sstate_shard),
         out_shardings=(pshard, oshard, rshard),
         donate_argnums=(0, 1),
     )
-    def step(p, o, key, target_codes, seq_codes):
-        codes, labels, weights = sampler.sample(key, target_codes)
+    def step(p, o, key, target_codes, seq_codes, sstate):
+        codes, labels, weights = sampler.sample(key, target_codes, sstate)
 
         def loss_fn(pp):
             logits = forward(pp, codes, seq_codes)
@@ -126,4 +128,7 @@ def make_sharded_train_step(
         new_p = optax.apply_updates(p, updates)
         return new_p, new_o, loss
 
-    return step, params, opt_state
+    def run(p, o, key, target_codes, seq_codes):
+        return step(p, o, key, target_codes, seq_codes, sampler_state)
+
+    return run, params, opt_state

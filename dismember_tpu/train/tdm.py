@@ -139,10 +139,11 @@ class TDMTrainer:
         forward = self.forward
         sampler = self.sampler
         optimizer = self.optimizer
+        sampler_state = sampler.device_state()
 
         @jax.jit
-        def step(params, opt_state, key, target_codes, seq_codes):
-            codes, labels, weights = sampler.sample(key, target_codes)
+        def step(params, opt_state, key, target_codes, seq_codes, sstate):
+            codes, labels, weights = sampler.sample(key, target_codes, sstate)
 
             def loss_fn(p):
                 logits = forward(p, codes, seq_codes)
@@ -153,19 +154,20 @@ class TDMTrainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, loss
 
-        return step
+        return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
 
     def _make_eval_loss_step(self):
         forward = self.forward
         sampler = self.sampler
+        sampler_state = sampler.device_state()
 
         @jax.jit
-        def step(params, key, target_codes, seq_codes):
-            codes, labels, weights = sampler.sample(key, target_codes)
+        def step(params, key, target_codes, seq_codes, sstate):
+            codes, labels, weights = sampler.sample(key, target_codes, sstate)
             logits = forward(params, codes, seq_codes)
             return bce_with_logits(logits, labels, weights)
 
-        return step
+        return lambda p, k, tc, sc: step(p, k, tc, sc, sampler_state)
 
     # ------------------------------------------------------------------
     def train(
