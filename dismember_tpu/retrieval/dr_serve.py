@@ -18,7 +18,6 @@ table or a path holds more than ``max_items_per_path`` items.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

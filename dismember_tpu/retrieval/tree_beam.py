@@ -21,7 +21,6 @@ the end — mid-tree codes are internal by construction.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import jax

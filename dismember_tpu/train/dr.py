@@ -17,7 +17,6 @@ item sits on several retrieved paths) -> rerank scores -> top-k.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
 
@@ -144,7 +143,15 @@ class DRTrainer:
         return optax.apply_updates(params, updates), new_opt, loss
 
     # ------------------------------------------------------------------
-    def train(self, num_epochs: int, progress_interval: int = 0) -> list[DREvalResult]:
+    def train(
+        self,
+        num_epochs: int,
+        progress_interval: int = 0,
+        rerank_epochs: int | None = None,
+    ) -> list[DREvalResult]:
+        """``rerank_epochs`` mirrors the reference's ``reRankStoppingEpoch``
+        (dr LocalOptimizer.scala:35-38,88-96): rerank training stops after
+        that many epochs while the layer model keeps training."""
         d = self.data
         n = len(d.train_seqs)
         rng = np.random.default_rng(self.seed)
@@ -152,6 +159,7 @@ class DRTrainer:
         results: list[DREvalResult] = []
         self.train_loss_log: list[dict] = []
         bsz = self.num_targets_per_batch
+        rerank_stop = rerank_epochs if rerank_epochs is not None else num_epochs
         for epoch in range(1, num_epochs + 1):
             perm = rng.permutation(n)
             t0 = time.perf_counter()
@@ -166,14 +174,19 @@ class DRTrainer:
                 self.layer_params, self.layer_opt_state, losses = self._layer_step(
                     self.layer_params, self.layer_opt_state, seqs, paths
                 )
-                key, sub = jax.random.split(key)
-                self.rerank_params, self.rerank_opt_state, rloss = self._rerank_step(
-                    self.rerank_params,
-                    self.rerank_opt_state,
-                    sub,
-                    seqs,
-                    jnp.asarray(targets, jnp.int32),
-                )
+                if epoch <= rerank_stop:
+                    key, sub = jax.random.split(key)
+                    self.rerank_params, self.rerank_opt_state, rloss = (
+                        self._rerank_step(
+                            self.rerank_params,
+                            self.rerank_opt_state,
+                            sub,
+                            seqs,
+                            jnp.asarray(targets, jnp.int32),
+                        )
+                    )
+                else:
+                    rloss = float("nan")
                 it += 1
                 epoch_layer += np.asarray(losses)
                 epoch_rerank += float(rloss)

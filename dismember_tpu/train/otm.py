@@ -18,7 +18,6 @@ segment sum — J = label_num is tiny, so the O(J^2) mask matmul is free.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import math
 import time

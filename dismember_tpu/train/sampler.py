@@ -19,7 +19,6 @@ shapes.  The per-level candidate tables are device arrays built once per tree.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,8 @@ per-target sampled-node count (tdm MiniBatch.scala:19).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

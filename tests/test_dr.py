@@ -174,3 +174,16 @@ def test_coordinate_descent(dr_data):
         mode="streaming",
     )
     assert new_index2.item_paths.shape == (dr_data.num_items, 2, 3)
+
+
+def test_rerank_early_stop(dr_data):
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        train_batch_size=2048, beam_size=10, seed=0,
+    )
+    before = np.asarray(tr.rerank_params["embedding"]).copy()
+    tr.train(num_epochs=2, rerank_epochs=1)
+    # rerank trained only in epoch 1; layer model trained both epochs
+    assert np.isnan(tr.train_loss_log[1]["rerank_loss"])
+    assert not np.isnan(tr.train_loss_log[0]["rerank_loss"])
+    assert not np.array_equal(before, np.asarray(tr.rerank_params["embedding"]))
