@@ -17,3 +17,16 @@ pjit/shard_map SPMD over a ('data', 'model') device mesh.
 __version__ = "0.1.0"
 
 from dismember_tpu.constants import PADDING_ID, PADDING_IDX
+
+__all__ = [
+    "PADDING_ID",
+    "PADDING_IDX",
+    # Heavier modules are imported lazily; canonical entry points:
+    #   dismember_tpu.index.arraytree.ArrayTree
+    #   dismember_tpu.train.tdm.TDMTrainer
+    #   dismember_tpu.train.otm.OTMTrainer
+    #   dismember_tpu.train.dr.DRTrainer
+    #   dismember_tpu.train.jtm.TreeLearner
+    #   dismember_tpu.train.pipeline.run_tdm_alternation / run_dr_alternation
+    #   dismember_tpu.serving.TDMServing / DRServing
+]

@@ -103,3 +103,37 @@ def test_rebalance_prefers_old_assignment():
     )
     # item 1 must stay at 3 (old assignment preferred)
     assert 1 in out[3]
+
+
+def test_hierarchical_preference(setup):
+    """hierarchical=True replaces sequence items by their ancestors at the
+    chain level (JTMTree.idToCode semantics)."""
+    tree, params, train_seqs, train_targets = setup
+    learner = TreeLearner(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=2,
+        hierarchical=True, min_level=0,
+    )
+    level = 3
+    codes = learner._seq_codes_at_level(level)
+    base = learner.rows_codes
+    valid = base >= 0
+    # all valid codes at or above (shallower than) the requested level
+    levels = np.floor(np.log2(codes[valid] + 1)).astype(int)
+    assert (levels <= level).all()
+    # padding preserved
+    assert (codes[~valid] == -1).all()
+    # projection still valid end-to-end
+    proj = learner.optimize()
+    assert len(set(proj.values())) == len(proj)
+
+
+def test_hierarchical_below_min_level_uses_leaves(setup):
+    tree, params, train_seqs, train_targets = setup
+    learner = TreeLearner(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=2,
+        hierarchical=True, min_level=10,
+    )
+    codes = learner._seq_codes_at_level(3)  # 3 < min_level -> leaf codes
+    np.testing.assert_array_equal(codes, learner.rows_codes)
