@@ -102,6 +102,56 @@ class TDMServing:
         return filter_topk(np.asarray(ids), np.asarray(scores), k, consumed)
 
 
+class OTMServing:
+    """OTM facade (otm/.../model/OTM.scala): load model + item<->leaf-code
+    mapping, serve beam-search recommendations in raw item-id space."""
+
+    def __init__(self, trainer):
+        self._trainer = trainer
+
+    @classmethod
+    def load(
+        cls, model_path: str, mapping_path: str, data_path: str,
+        seq_len: int = 10, min_seq_len: int = 2, split_ratio: float = 0.8,
+        label_num: int = 5, beam_size: int = 20, topk: int = 10,
+    ) -> "OTMServing":
+        from dismember_tpu.data.otm_dataset import build_otm_data, load_mapping
+        from dismember_tpu.train.otm import OTMTrainer
+
+        mapping = load_mapping(mapping_path)
+        data = build_otm_data(
+            data_path, seq_len, min_seq_len, split_ratio,
+            label_num=label_num, mapping=mapping,
+        )
+        meta = load_meta(model_path)
+        trainer = OTMTrainer(
+            data, model_type=meta["model"], embed_size=meta["embed_size"],
+            beam_size=beam_size, topk=topk, seq_len=meta["seq_len"],
+        )
+        trainer.params = load_pytree(model_path, trainer.params)
+        return cls(trainer)
+
+    def recommend(
+        self, sequence_items: np.ndarray, topk: int | None = None,
+        consumed_items: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """sequence/result in raw item-id space (codes mapped internally)."""
+        t = self._trainer
+        seq_codes = np.asarray(
+            [t.data.item_to_code.get(int(i), -1) for i in sequence_items],
+            dtype=np.int64,
+        )
+        consumed_codes = None
+        if consumed_items is not None:
+            consumed_codes = [np.asarray(
+                [t.data.item_to_code[int(i)] for i in consumed_items
+                 if int(i) in t.data.item_to_code], dtype=np.int64,
+            )]
+        return t.recommend_batch(
+            seq_codes[None, :], topk=topk, consumed=consumed_codes
+        )[0]
+
+
 class DRServing:
     def __init__(self, trainer):
         self._trainer = trainer

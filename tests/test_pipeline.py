@@ -106,3 +106,33 @@ def test_io_local_roundtrip(tmp_path):
     with open_file(p, "rb") as f:
         assert f.read() == b"abc"
     assert not exists(str(tmp_path / "nope"))
+
+
+def test_otm_serving_facade(small_csv, tmp_path):
+    from dismember_tpu.core.checkpoint import save_pytree
+    from dismember_tpu.data.otm_dataset import build_otm_data, save_mapping
+    from dismember_tpu.serving import OTMServing
+    from dismember_tpu.train.otm import OTMTrainer
+
+    data = build_otm_data(
+        small_csv, 10, 2, 0.8, leaf_init_mode="random", label_num=3, seed=5
+    )
+    tr = OTMTrainer(data, embed_size=8, beam_size=8, topk=5,
+                    total_train_batch_size=512, seed=5)
+    tr.train(num_epochs=1)
+    mp = str(tmp_path / "otm_model")
+    save_pytree(mp, tr.params, meta={"model": "din", "embed_size": 8, "seq_len": 10})
+    mapping_p = str(tmp_path / "otm_mapping.txt")
+    save_mapping(mapping_p, data.item_to_code)
+
+    serving = OTMServing.load(
+        mp, mapping_p, small_csv, label_num=3, beam_size=8, topk=5
+    )
+    items = np.asarray(list(data.item_to_code)[:10])
+    rec = serving.recommend(items)
+    assert len(rec) <= 5
+    assert all(int(x) in data.item_to_code for x in rec)
+    # consumed filter in item space
+    if len(rec) > 0:
+        rec2 = serving.recommend(items, consumed_items=rec[:1])
+        assert int(rec[0]) not in rec2
