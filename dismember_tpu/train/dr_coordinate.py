@@ -143,16 +143,22 @@ def coordinate_descent(
                 cands = [
                     (p, sc) for p, sc in cand_all if p not in selected
                 ] or cand_all
-                best_path, best_score = None, -np.inf
+                best_path, best_sc, best_gain = None, 0.0, -np.inf
                 for p, sc in cands:
                     size = path_size.get(p, 0)
                     pen = penalty_factor * _penalty(size, penalty_poly_order)
                     gain = nv * (np.log1p(sc + partial) - np.log1p(partial)) - pen
-                    if gain > best_score:
-                        best_score, best_path = gain, p
+                    if gain > best_gain:
+                        best_gain, best_sc, best_path = gain, sc, p
+                if best_path is None:  # all gains NaN/-inf — keep first cand
+                    best_path, best_sc = cands[0]
                 path_size[best_path] = path_size.get(best_path, 0) + 1
                 selected.append(best_path)
-                partial += best_score
+                # accumulate the selected path's *score* (the paper's running
+                # sum; the reference accumulates the penalized gain instead —
+                # dr CoordinateDescent.scala:62-75 — which can drive the
+                # log1p argument below -1 and NaN the remaining selections)
+                partial += best_sc
             mapping[v] = selected
 
     item_paths = np.zeros((num_items, j_paths, num_layers), dtype=np.int32)
