@@ -35,6 +35,36 @@ def compute_metrics(rec: np.ndarray, labels: np.ndarray) -> tuple[float, float, 
     return common / k, common / len(labels), dcg / idcg
 
 
+def compute_metrics_batch(
+    rec: np.ndarray, labels: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized metrics over a batch.
+
+    rec [B, K] recommended ids in rank order (-1 pad), labels [B, L] (-1 pad).
+    Returns (precision [B], recall [B], ndcg [B]) with the same per-row
+    definition as :func:`compute_metrics`.
+    """
+    rec_valid = rec >= 0
+    lab_valid = labels >= 0
+    k = rec_valid.sum(axis=1)  # actual recommended count per row
+    n_labels = lab_valid.sum(axis=1)
+    hits = (
+        (rec[:, :, None] == labels[:, None, :]) & lab_valid[:, None, :]
+    ).any(-1) & rec_valid  # [B, K]
+    common = hits.sum(axis=1)
+    # dcg over hit positions; idcg over the first `common` positions
+    pos = np.arange(rec.shape[1])
+    gain = np.log(2.0) / np.log(pos + 2.0)
+    dcg = (hits * gain[None, :]).sum(axis=1)
+    cum_ideal = np.concatenate([[0.0], np.cumsum(gain)])
+    idcg = cum_ideal[common]
+    nz = common > 0
+    precision = np.where(nz & (k > 0), common / np.maximum(k, 1), 0.0)
+    recall = np.where(nz & (n_labels > 0), common / np.maximum(n_labels, 1), 0.0)
+    ndcg = np.where(nz, dcg / np.where(idcg > 0, idcg, 1.0), 0.0)
+    return precision, recall, ndcg
+
+
 @dataclasses.dataclass
 class EvalResult:
     """Accumulator matching tdm/.../evaluation/EvalResult.scala."""

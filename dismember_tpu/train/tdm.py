@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from dismember_tpu.core.metrics import EvalResult, compute_metrics
+from dismember_tpu.core.metrics import EvalResult, compute_metrics_batch
 from dismember_tpu.index.arraytree import ArrayTree
 from dismember_tpu.models import deepfm, din
 from dismember_tpu.models.losses import bce_with_logits
@@ -278,8 +278,13 @@ class TDMTrainer:
                 for u in eval_users
             ] if user_consumed else None,
         )
-        for rec, labels in zip(rec_lists, eval_labels):
-            result.add_metrics(compute_metrics(rec, labels))
+        rec_padded = np.full((len(rec_lists), self.topk), -1, dtype=np.int64)
+        for i, rec in enumerate(rec_lists):
+            rec_padded[i, : len(rec)] = rec
+        p, r, nd = compute_metrics_batch(rec_padded, eval_labels)
+        result.precision += float(p.sum())
+        result.recall += float(r.sum())
+        result.ndcg += float(nd.sum())
         return result
 
     def recommend_batch(

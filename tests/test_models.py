@@ -129,3 +129,25 @@ def test_deepfm_precompute_apply_equivalence():
     ref = deepfm.forward(params, items, seqs)
     got = apply_with_ctx(params, items, precompute_seq(params, seqs))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_compute_metrics_batch_matches_scalar():
+    from dismember_tpu.core.metrics import compute_metrics, compute_metrics_batch
+
+    rng = np.random.default_rng(0)
+    B, K, L = 50, 10, 7
+    rec = rng.integers(0, 30, size=(B, K))
+    # -1 padding is a suffix (rank positions are meaningful), as produced by
+    # filter_topk / the device serving paths
+    n_valid = rng.integers(1, K + 1, size=B)
+    for i in range(B):
+        rec[i, n_valid[i]:] = -1
+    labels = rng.integers(0, 30, size=(B, L))
+    labels[rng.random((B, L)) < 0.3] = -1
+    p, r, nd = compute_metrics_batch(rec, labels)
+    for i in range(B):
+        row_rec = rec[i][rec[i] >= 0]
+        ps, rs, ns = compute_metrics(row_rec, labels[i])
+        np.testing.assert_allclose(p[i], ps, rtol=1e-9)
+        np.testing.assert_allclose(r[i], rs, rtol=1e-9)
+        np.testing.assert_allclose(nd[i], ns, rtol=1e-9)
