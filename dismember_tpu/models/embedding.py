@@ -15,8 +15,14 @@ from dismember_tpu.constants import PADDING_IDX
 
 
 def embed_lookup(table: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """table [V, E], indices [...], returns [..., E] with -1 -> zeros."""
+    """table [V, E], indices [...], returns [..., E] with -1 -> zeros.
+
+    Reduced-precision tables (bf16 storage for big catalogs) are upcast to
+    float32 after the gather so all compute stays f32.
+    """
     valid = indices != PADDING_IDX
     safe = jnp.where(valid, indices, 0)
     out = table[safe]
-    return out * valid[..., None].astype(table.dtype)
+    if out.dtype in (jnp.bfloat16, jnp.float16):
+        out = out.astype(jnp.float32)
+    return out * valid[..., None].astype(out.dtype)

@@ -77,6 +77,8 @@ class TDMTrainer:
     beam_size: int = 20
     seed: int = 0
     mesh: object = None  # jax.sharding.Mesh -> SPMD train step (spmd.py)
+    embed_dtype: object = None  # e.g. jnp.bfloat16: halve table memory for
+    # huge catalogs (compute stays f32; Adam moments kept f32)
 
     def __post_init__(self):
         key = jax.random.PRNGKey(self.seed)
@@ -106,6 +108,10 @@ class TDMTrainer:
             start_level=self.start_sample_level,
             with_prob=self.sample_with_prob,
         )
+        if self.embed_dtype is not None:
+            self.params["embedding"] = self.params["embedding"].astype(
+                self.embed_dtype
+            )
         self.num_targets_per_batch = max(1, self.total_batch_size // self.sampler.unit)
         if self.mesh is not None:
             # batch must split across the 'data' axis
@@ -116,7 +122,8 @@ class TDMTrainer:
                 n_data, self.num_targets_per_batch // n_data * n_data
             )
         self.optimizer = optax.adam(
-            self.learning_rate, b1=0.9, b2=0.999, eps=1e-8
+            self.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+            mu_dtype=jnp.float32,  # full-precision moments under bf16 params
         )
         self.opt_state = self.optimizer.init(self.params)
         if self.mesh is not None:

@@ -127,3 +127,22 @@ def test_export_embeddings(pipeline, tmp_path):
     assert len(lines) == tree.num_items
     first = lines[0].split(", ")
     assert len(first) == 1 + 8  # id + embed_size
+
+
+def test_bf16_embedding_training(pipeline):
+    import jax.numpy as jnp
+
+    tree, samples = pipeline
+    trainer = TDMTrainer(
+        tree=tree, model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=1024, layer_neg_counts=NEG_COUNTS, topk=5,
+        beam_size=10, embed_dtype=jnp.bfloat16,
+    )
+    assert trainer.params["embedding"].dtype == jnp.bfloat16
+    logs = trainer.train(samples.train_seqs, samples.train_targets,
+                         iterations=20, progress_interval=10)
+    assert all(np.isfinite(l["train_loss"]) for l in logs)
+    # table stays bf16 through updates; serving works
+    assert trainer.params["embedding"].dtype == jnp.bfloat16
+    rec = trainer.recommend(samples.eval_seqs[0], topk=5)
+    assert len(rec) == 5
