@@ -136,3 +136,21 @@ def test_otm_serving_facade(small_csv, tmp_path):
     if len(rec) > 0:
         rec2 = serving.recommend(items, consumed_items=rec[:1])
         assert int(rec[0]) not in rec2
+
+
+def test_profiling_helpers(tmp_path):
+    from dismember_tpu.core.profiling import StepTimer, trace
+
+    t = StepTimer("test", log_every=2)
+    t.step(10)
+    t.step(10)
+    assert t.rate > 0
+    # device trace writes profile data
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path / "prof")):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    import os
+
+    found = any(f for _, _, fs in os.walk(tmp_path / "prof") for f in fs)
+    assert found
