@@ -80,25 +80,49 @@ def _distance_rank_batch(x: jnp.ndarray, mask: jnp.ndarray, iters: int):
     return jnp.argsort(d, axis=1)
 
 
-def _spectral_project(x: np.ndarray, sigma: float = 1.0, k: int = 2) -> np.ndarray:
-    """Spectral embedding of one cluster (host->device eigh).
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spectral_project_batch(x: jnp.ndarray, sigma: float = 1.0, k: int = 2):
+    """Batched spectral embedding: x [S, m, E] (equal-size clusters).
 
-    Mirrors SpectralClustering.fit/fitMatrix: Gaussian affinity (zero
-    diagonal), symmetric normalization, top-k eigenvectors of the normalized
-    affinity (largest algebraic), rows unitized.
+    Mirrors SpectralClustering.fit/fitMatrix per cluster: Gaussian affinity
+    (zero diagonal), symmetric normalization, top-k eigenvectors of the
+    normalized affinity (largest algebraic), rows unitized.  Batched eigh —
+    one dispatch for all clusters of a size class instead of one per cluster.
     """
-    xj = jnp.asarray(x)
-    sq = jnp.sum((xj[:, None, :] - xj[None, :, :]) ** 2, axis=-1)
+    sq = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, axis=-1)
     w = jnp.exp(-0.5 / (sigma * sigma) * sq)
-    w = w - jnp.diag(jnp.diag(w))  # the reference leaves W[i,i] = 0
-    d = jnp.sum(w, axis=1)
+    eye = jnp.eye(x.shape[1], dtype=bool)[None]
+    w = jnp.where(eye, 0.0, w)  # the reference leaves W[i,i] = 0
+    d = jnp.sum(w, axis=2)
     dinv = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
-    m = w * dinv[:, None] * dinv[None, :]
+    m = w * dinv[:, :, None] * dinv[:, None, :]
     _, vecs = jnp.linalg.eigh(m)  # ascending
-    proj = vecs[:, -k:]  # top-k eigenvectors
-    norms = jnp.linalg.norm(proj, axis=1, keepdims=True)
-    proj = proj / jnp.maximum(norms, 1e-12)
-    return np.asarray(proj)
+    proj = vecs[:, :, -k:]  # [S, m, k]
+    norms = jnp.linalg.norm(proj, axis=2, keepdims=True)
+    return proj / jnp.maximum(norms, 1e-12)
+
+
+def _spectral_features(
+    feats: list[np.ndarray], sigma: float = 1.0, k: int = 2
+) -> list[np.ndarray]:
+    """Project every cluster, batching by exact size (at a given tree depth
+    cluster sizes differ by at most 1, so this is <= 2 eigh dispatches)."""
+    by_size: dict[int, list[int]] = {}
+    for i, f in enumerate(feats):
+        by_size.setdefault(len(f), []).append(i)
+    out: list[np.ndarray | None] = [None] * len(feats)
+    for size, idxs in by_size.items():
+        x = np.stack([feats[i] for i in idxs])
+        # pad the batch dim to a power of two (repeat rows) so jit shapes
+        # recur across levels instead of recompiling for every cluster count
+        s = len(idxs)
+        s_pad = 1 << (s - 1).bit_length()
+        if s_pad != s:
+            x = np.concatenate([x, np.repeat(x[:1], s_pad - s, axis=0)])
+        proj = np.asarray(_spectral_project_batch(jnp.asarray(x), k=k))
+        for j, i in enumerate(idxs):
+            out[i] = proj[j]
+    return out  # type: ignore[return-value]
 
 
 def tree_cluster(
@@ -135,8 +159,7 @@ def tree_cluster(
             break
 
         if cluster_type == "spectral":
-            # per-cluster projection (matrix sizes vary); batch the 2-means
-            feats = [_spectral_project(embeddings[idx]) for _, idx in to_split]
+            feats = _spectral_features([embeddings[idx] for _, idx in to_split])
         else:
             feats = [embeddings[idx] for _, idx in to_split]
 
