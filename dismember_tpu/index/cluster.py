@@ -111,6 +111,13 @@ def _spectral_features(
     for i, f in enumerate(feats):
         by_size.setdefault(len(f), []).append(i)
     out: list[np.ndarray | None] = [None] * len(feats)
+    # eigh runs on the CPU backend: LAPACK syevd is fast and shape-agnostic,
+    # while TPU eigh pays a slow compile per (batch, m) shape — the reference
+    # also ran its EVD on CPU (ARPACK via JNI)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
     for size, idxs in by_size.items():
         x = np.stack([feats[i] for i in idxs])
         # pad the batch dim to a power of two (repeat rows) so jit shapes
@@ -119,7 +126,11 @@ def _spectral_features(
         s_pad = 1 << (s - 1).bit_length()
         if s_pad != s:
             x = np.concatenate([x, np.repeat(x[:1], s_pad - s, axis=0)])
-        proj = np.asarray(_spectral_project_batch(jnp.asarray(x), k=k))
+        if cpu is not None:
+            with jax.default_device(cpu):
+                proj = np.asarray(_spectral_project_batch(jnp.asarray(x), k=k))
+        else:
+            proj = np.asarray(_spectral_project_batch(jnp.asarray(x), k=k))
         for j, i in enumerate(idxs):
             out[i] = proj[j]
     return out  # type: ignore[return-value]
