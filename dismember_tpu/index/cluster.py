@@ -152,6 +152,26 @@ def tree_cluster(
     n = len(ids)
     embeddings = np.asarray(embeddings, dtype=np.float32)
     codes = np.zeros(n, dtype=np.int64)
+
+    # Small catalogs run on the CPU backend: every tree level is a fresh
+    # (num_clusters, width) shape, and paying a TPU compile per level dwarfs
+    # the milliseconds of actual 2-means compute.  Big catalogs (where the
+    # batched distance matmuls are real work) stay on the default device.
+    device = None
+    if embeddings.size < (1 << 22):
+        try:
+            device = jax.devices("cpu")[0]
+        except RuntimeError:
+            device = None
+
+    import contextlib
+
+    ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
+    with ctx:
+        return _tree_cluster_impl(ids, embeddings, cluster_iter, cluster_type, n, codes)
+
+
+def _tree_cluster_impl(ids, embeddings, cluster_iter, cluster_type, n, codes):
     # clusters at the current level: (code, item positions)
     clusters: list[tuple[int, np.ndarray]] = [(0, np.arange(n))]
 
