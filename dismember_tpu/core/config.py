@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
-from typing import Any, Mapping
+from typing import Mapping
 
 
 def read_conf(path: str, prefix: str) -> dict[str, str]:

@@ -17,7 +17,6 @@ import logging
 import os
 import time
 
-import numpy as np
 
 from dismember_tpu.core.checkpoint import load_pytree, save_pytree
 
