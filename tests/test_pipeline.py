@@ -154,3 +154,44 @@ def test_profiling_helpers(tmp_path):
 
     found = any(f for _, _, fs in os.walk(tmp_path / "prof") for f in fs)
     assert found
+
+
+def test_dr_alternation_pipeline(small_csv, tmp_path):
+    from dismember_tpu.data.dr_dataset import build_dr_data
+    from dismember_tpu.train.pipeline import StageState, run_dr_alternation
+
+    data = build_dr_data(small_csv, 10, 2, 0.8)
+    wd = str(tmp_path / "dr_alt")
+    kwargs = dict(num_layers=3, num_nodes=10, num_paths_per_item=2,
+                  embed_size=8, train_batch_size=1024, beam_size=5, topk=5)
+    cd_kwargs = dict(num_iteration=1, num_candidate_path=5, batch_size=1024,
+                     mode="batch")
+    trainer, results = run_dr_alternation(
+        wd, data, rounds=2, epochs_per_round=1,
+        cd_kwargs=cd_kwargs, trainer_kwargs=kwargs,
+    )
+    assert len(results) == 2
+    state = StageState.load(os.path.join(wd, "dr_pipeline_state.json"))
+    assert state.round == 2
+    assert os.path.exists(state.artifacts["mapping"])
+    # resume for a third round
+    trainer2, _ = run_dr_alternation(
+        wd, data, rounds=3, epochs_per_round=1,
+        cd_kwargs=cd_kwargs, trainer_kwargs=kwargs,
+    )
+    state = StageState.load(os.path.join(wd, "dr_pipeline_state.json"))
+    assert state.round == 3
+
+
+def test_multihost_single_process():
+    from dismember_tpu.core import multihost
+
+    assert multihost.process_count() == 1
+    assert multihost.process_index() == 0
+    s = multihost.host_shard(100)
+    assert (s.start, s.stop) == (0, 100)
+    arrs = [np.arange(5), np.ones((2, 2))]
+    out = multihost.broadcast_from_host0(arrs)
+    for a, b in zip(arrs, out):
+        np.testing.assert_array_equal(a, b)
+    multihost.assert_same_across_hosts(np.arange(3))  # no-op single process
