@@ -136,6 +136,124 @@ def _spectral_features(
     return out  # type: ignore[return-value]
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "n_seg"))
+def _flat_two_means_rank(x: jnp.ndarray, seg: jnp.ndarray, iters: int, n_seg: int):
+    """Segment-based 2-means over ALL clusters of a level at once.
+
+    x [N, E] points, seg [N] cluster id per point (any values < n_seg).
+    Returns squared distance of each point to its cluster's centroid 0 —
+    the ranking key for the balanced midpoint split.
+
+    Shape-stable across tree levels (only the *values* of ``seg`` change), so
+    the whole recursive construction reuses ONE compiled program — the
+    per-level (num_clusters, width) recompiles of the padded formulation cost
+    ~30s each through a remote compiler, dominating construction time.
+    """
+    n, e = x.shape
+    arange = jnp.arange(n, dtype=jnp.int32)
+
+    # deterministic k-means++-style init per segment:
+    # c0 = first point of the segment, c1 = farthest point from c0
+    first_idx = jax.ops.segment_min(arange, seg, num_segments=n_seg)
+    c0 = x[jnp.clip(first_idx, 0, n - 1)[seg]]
+    d0 = jnp.sum((x - c0) ** 2, axis=1)
+    seg_max_d = jax.ops.segment_max(d0, seg, num_segments=n_seg)
+    is_far = d0 >= seg_max_d[seg] - 1e-12
+    far_idx = jax.ops.segment_min(
+        jnp.where(is_far, arange, n), seg, num_segments=n_seg
+    )
+    c1 = x[jnp.clip(far_idx, 0, n - 1)[seg]]
+
+    def body(_, carry):
+        c0, c1 = carry  # per-point centroid views [N, E]
+        d0 = jnp.sum((x - c0) ** 2, axis=1)
+        d1 = jnp.sum((x - c1) ** 2, axis=1)
+        assign = (d1 < d0).astype(jnp.int32)  # 1 -> cluster 1
+        key2 = seg * 2 + assign
+        sums = jax.ops.segment_sum(x, key2, num_segments=2 * n_seg)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n, 1), x.dtype), key2, num_segments=2 * n_seg
+        )
+        cent = sums / jnp.maximum(counts, 1.0)
+        ok = counts > 0
+        new_c0 = jnp.where(ok[seg * 2], cent[seg * 2], c0)
+        new_c1 = jnp.where(ok[seg * 2 + 1], cent[seg * 2 + 1], c1)
+        return new_c0, new_c1
+
+    c0, c1 = jax.lax.fori_loop(0, iters, body, (c0, c1))
+    return jnp.sum((x - c0) ** 2, axis=1)
+
+
+def _tree_cluster_kmeans_flat(
+    ids: np.ndarray, embeddings: np.ndarray, cluster_iter: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Level-synchronous balanced construction with the flat segment kernel."""
+    n = len(ids)
+    x = jnp.asarray(embeddings, jnp.float32)
+    codes = np.zeros(n, dtype=np.int64)
+    # active points: cluster code + position; level-synchronous arrays
+    seg_code = np.zeros(n, dtype=np.int64)  # heap code of each point's cluster
+    active = np.ones(n, dtype=bool)
+
+    while active.any():
+        act_idx = np.flatnonzero(active)
+        sub_codes = seg_code[act_idx]
+        # compact cluster ids 0..S-1 for the active set
+        uniq, seg_act = np.unique(sub_codes, return_inverse=True)
+        sizes = np.bincount(seg_act)
+
+        # size-1 clusters keep their code; size-2 assign left/right directly
+        # (vectorized: deep levels finalize ~N/2 clusters at once)
+        small = sizes <= 2
+        if small.any():
+            order_s = np.argsort(seg_act, kind="stable")
+            seg_sorted_s = seg_act[order_s]
+            pts_sorted = act_idx[order_s]
+            starts_s = np.searchsorted(seg_sorted_s, np.arange(len(uniq)))
+            rank_s = np.arange(len(pts_sorted)) - starts_s[seg_sorted_s]
+            size_of = sizes[seg_sorted_s]
+            code_of = uniq[seg_sorted_s]
+            one = size_of == 1
+            two = size_of == 2
+            codes[pts_sorted[one]] = code_of[one]
+            codes[pts_sorted[two]] = 2 * code_of[two] + 1 + rank_s[two]
+            active[pts_sorted[one | two]] = False
+
+        big = sizes > 2
+        if not big.any():
+            break
+        # full-length segment vector: active big clusters get compact ids,
+        # everything else shares one parked segment — the kernel shape stays
+        # [n] at every level (one compile for the whole construction)
+        n_big = int(big.sum())
+        remap = np.full(len(uniq), n_big, dtype=np.int64)  # parked id
+        remap[np.flatnonzero(big)] = np.arange(n_big)
+        seg_full = np.full(n, n_big, dtype=np.int32)
+        seg_full[act_idx] = remap[seg_act]
+
+        d0 = np.asarray(
+            _flat_two_means_rank(x, jnp.asarray(seg_full), cluster_iter, n)
+        )
+
+        # balanced midpoint split per active big segment
+        mask = seg_full < n_big
+        pts = np.flatnonzero(mask)
+        seg2 = seg_full[pts]
+        big_codes = uniq[big]
+        order = np.lexsort((d0[pts], seg2))
+        seg_sorted = seg2[order]
+        starts = np.searchsorted(seg_sorted, np.arange(n_big))
+        sizes2 = np.bincount(seg2)
+        rank = np.arange(len(pts)) - starts[seg_sorted]
+        left = rank < (sizes2[seg_sorted] // 2)
+        child = np.where(
+            left, 2 * big_codes[seg_sorted] + 1, 2 * big_codes[seg_sorted] + 2
+        )
+        seg_code[pts[order]] = child
+
+    return np.asarray(ids), codes
+
+
 def tree_cluster(
     ids: np.ndarray,
     embeddings: np.ndarray,
@@ -153,12 +271,12 @@ def tree_cluster(
     embeddings = np.asarray(embeddings, dtype=np.float32)
     codes = np.zeros(n, dtype=np.int64)
 
-    # Small catalogs run on the CPU backend: every tree level is a fresh
-    # (num_clusters, width) shape, and paying a TPU compile per level dwarfs
-    # the milliseconds of actual 2-means compute.  Big catalogs (where the
-    # batched distance matmuls are real work) stay on the default device.
+    # The host CPU backend wins well past million-item scale: the flat
+    # kernel's segment scatters are slow on TPU (round-2 item: sorted-segment
+    # cumsum reduction), and the spectral path pays a TPU compile per shape.
+    # 1M items x 16 dims cluster in ~22s on CPU vs ~12 min on the TPU paths.
     device = None
-    if embeddings.size < (1 << 22):
+    if embeddings.size < (1 << 25):
         try:
             device = jax.devices("cpu")[0]
         except RuntimeError:
@@ -168,6 +286,9 @@ def tree_cluster(
 
     ctx = jax.default_device(device) if device is not None else contextlib.nullcontext()
     with ctx:
+        if cluster_type == "kmeans":
+            # flat segment formulation: one compiled kernel for all levels
+            return _tree_cluster_kmeans_flat(ids, embeddings, cluster_iter)
         return _tree_cluster_impl(ids, embeddings, cluster_iter, cluster_type, n, codes)
 
 
