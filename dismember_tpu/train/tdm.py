@@ -215,15 +215,19 @@ class TDMTrainer:
             if it % progress_interval == 0 or it == iterations:
                 loss_val = float(loss)
                 iter_time = time.perf_counter() - t0
+                elapsed = time.perf_counter() - t_epoch
+                rows_s = it * bsz * self.sampler.unit / max(elapsed, 1e-9)
                 entry = {
                     "iteration": it,
                     "train_loss": loss_val,
                     "iter_time": iter_time,
-                    "elapsed": time.perf_counter() - t_epoch,
+                    "elapsed": elapsed,
+                    "expanded_rows_per_s": rows_s,
                 }
                 msg = (
                     f"Iteration {it} time: {iter_time:.4f}s, "
-                    f"Train loss: {loss_val:.4f}"
+                    f"Train loss: {loss_val:.4f}, "
+                    f"{rows_s:,.0f} expanded rows/s"
                 )
                 if eval_data is not None:
                     ev = self.evaluate(eval_data, user_consumed)

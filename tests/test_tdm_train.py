@@ -146,3 +146,28 @@ def test_bf16_embedding_training(pipeline):
     assert trainer.params["embedding"].dtype == jnp.bfloat16
     rec = trainer.recommend(samples.eval_seqs[0], topk=5)
     assert len(rec) == 5
+
+
+def test_training_determinism(pipeline):
+    """Same seed -> bitwise-identical parameters and recommendations
+    (SURVEY §7: determinism under device RNG)."""
+    tree, samples = pipeline
+
+    def run():
+        tr = TDMTrainer(
+            tree=tree, model_type="din", embed_size=8, learning_rate=3e-3,
+            total_batch_size=1024, layer_neg_counts=NEG_COUNTS, topk=5,
+            beam_size=10, seed=123,
+        )
+        tr.train(samples.train_seqs, samples.train_targets, iterations=15,
+                 progress_interval=15)
+        return tr
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(
+        np.asarray(a.params["embedding"]), np.asarray(b.params["embedding"])
+    )
+    np.testing.assert_array_equal(
+        a.recommend(samples.eval_seqs[0], topk=5),
+        b.recommend(samples.eval_seqs[0], topk=5),
+    )
