@@ -184,6 +184,54 @@ def _flat_two_means_rank(x: jnp.ndarray, seg: jnp.ndarray, iters: int, n_seg: in
     return jnp.sum((x - c0) ** 2, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _sorted_two_means_rank(
+    x: jnp.ndarray,  # [N, E] points, contiguous by segment
+    start: jnp.ndarray,  # [N] int32: index of the point's segment start
+    end: jnp.ndarray,  # [N] int32: index one past the segment end
+    iters: int,
+):
+    """Scatter-free segment 2-means for segment-sorted points.
+
+    Segment reductions become exclusive-cumsum differences (cs[end]-cs[start])
+    plus row gathers — no segment_sum scatters, which are the TPU bottleneck
+    of the unsorted formulation.  All shapes fixed at [N, E]/[N].
+    Returns per-point squared distance to centroid 0 (the split-ranking key).
+    """
+    n, e = x.shape
+
+    def seg_sum(values):  # [N, k] -> per-point segment sum [N, k]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, values.shape[1]), values.dtype),
+             jnp.cumsum(values, axis=0)], axis=0
+        )
+        return cs[end] - cs[start]
+
+    # init: c0/c1 = first/last point of the segment.  Points enter each level
+    # ordered by distance rank of the parent split, so the ends of a segment
+    # are naturally spread apart — a scan-free stand-in for farthest-point
+    # seeding.
+    c0 = x[start]
+    c1 = x[jnp.clip(end - 1, 0, n - 1)]
+
+    def body(_, carry):
+        c0, c1 = carry
+        d0 = jnp.sum((x - c0) ** 2, axis=1)
+        d1 = jnp.sum((x - c1) ** 2, axis=1)
+        a1 = (d1 < d0).astype(x.dtype)[:, None]  # [N, 1]
+        a0 = 1.0 - a1
+        sum0 = seg_sum(x * a0)
+        sum1 = seg_sum(x * a1)
+        n0 = seg_sum(a0)
+        n1 = seg_sum(a1)
+        new_c0 = jnp.where(n0 > 0, sum0 / jnp.maximum(n0, 1.0), c0)
+        new_c1 = jnp.where(n1 > 0, sum1 / jnp.maximum(n1, 1.0), c1)
+        return new_c0, new_c1
+
+    c0, c1 = jax.lax.fori_loop(0, iters, body, (c0, c1))
+    return jnp.sum((x - c0) ** 2, axis=1)
+
+
 def _tree_cluster_kmeans_flat(
     ids: np.ndarray, embeddings: np.ndarray, cluster_iter: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -222,34 +270,53 @@ def _tree_cluster_kmeans_flat(
         big = sizes > 2
         if not big.any():
             break
-        # full-length segment vector: active big clusters get compact ids,
-        # everything else shares one parked segment — the kernel shape stays
-        # [n] at every level (one compile for the whole construction)
+        # permutation layout, shape-stable at [n] for every level: active big
+        # clusters first (contiguous by segment), then every other point as a
+        # singleton segment.  The device kernel sees fixed [n]/[n, E] shapes,
+        # so the whole construction compiles once.
         n_big = int(big.sum())
-        remap = np.full(len(uniq), n_big, dtype=np.int64)  # parked id
+        remap = np.full(len(uniq), -1, dtype=np.int64)
         remap[np.flatnonzero(big)] = np.arange(n_big)
-        seg_full = np.full(n, n_big, dtype=np.int32)
-        seg_full[act_idx] = remap[seg_act]
+        seg_of_point = np.full(n, -1, dtype=np.int64)
+        seg_of_point[act_idx] = remap[seg_act]
+
+        pts = np.flatnonzero(seg_of_point >= 0)
+        seg2 = seg_of_point[pts]
+        order0 = np.argsort(seg2, kind="stable")
+        pts_sorted = pts[order0]
+        seg_sorted0 = seg2[order0]
+        sizes2 = np.bincount(seg2, minlength=n_big)
+        seg_starts = np.concatenate([[0], np.cumsum(sizes2)])
+        m = len(pts)
+        parked = np.flatnonzero(seg_of_point < 0)
+        perm = np.concatenate([pts_sorted, parked]).astype(np.int32)
+        start_arr = np.empty(n, dtype=np.int32)
+        end_arr = np.empty(n, dtype=np.int32)
+        start_arr[:m] = seg_starts[seg_sorted0]
+        end_arr[:m] = seg_starts[seg_sorted0 + 1]
+        start_arr[m:] = np.arange(m, n)
+        end_arr[m:] = np.arange(m + 1, n + 1)
 
         d0 = np.asarray(
-            _flat_two_means_rank(x, jnp.asarray(seg_full), cluster_iter, n)
-        )
+            _sorted_two_means_rank(
+                x[jnp.asarray(perm)],
+                jnp.asarray(start_arr),
+                jnp.asarray(end_arr),
+                cluster_iter,
+            )
+        )[:m]
 
-        # balanced midpoint split per active big segment
-        mask = seg_full < n_big
-        pts = np.flatnonzero(mask)
-        seg2 = seg_full[pts]
+        # balanced midpoint split per segment, ranking by distance to c0
         big_codes = uniq[big]
-        order = np.lexsort((d0[pts], seg2))
-        seg_sorted = seg2[order]
-        starts = np.searchsorted(seg_sorted, np.arange(n_big))
-        sizes2 = np.bincount(seg2)
-        rank = np.arange(len(pts)) - starts[seg_sorted]
-        left = rank < (sizes2[seg_sorted] // 2)
+        order1 = np.lexsort((d0, seg_sorted0))
+        pts_final = pts_sorted[order1]
+        seg_final = seg_sorted0[order1]
+        rank = np.arange(m) - seg_starts[seg_final]
+        left = rank < (sizes2[seg_final] // 2)
         child = np.where(
-            left, 2 * big_codes[seg_sorted] + 1, 2 * big_codes[seg_sorted] + 2
+            left, 2 * big_codes[seg_final] + 1, 2 * big_codes[seg_final] + 2
         )
-        seg_code[pts[order]] = child
+        seg_code[pts_final] = child
 
     return np.asarray(ids), codes
 
