@@ -50,6 +50,51 @@ def broadcast_from_host0(arrays: list[np.ndarray]) -> list[np.ndarray]:
     ]
 
 
+def device_batch(mesh, *arrays: np.ndarray):
+    """Global host batches -> global jax.Arrays sharded on 'data'.
+
+    Each array is the FULL global batch (built from a shared seed or a
+    host-identical source); this process contributes only its
+    :func:`host_shard` rows, and JAX assembles the distributed global array.
+    Single-process this is equivalent to a sharded device_put.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dismember_tpu.core.mesh import DATA_AXIS
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    out = []
+    for a in arrays:
+        local = np.ascontiguousarray(a[host_shard(a.shape[0])])
+        out.append(
+            jax.make_array_from_process_local_data(sh, local, a.shape)
+        )
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def replicated(mesh, x):
+    """Host value (identical on every process) -> replicated global array."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def gather_to_host(tree):
+    """Sharded global pytree -> full numpy pytree on every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda a: np.asarray(multihost_utils.process_allgather(a, tiled=True)),
+        tree,
+    )
+
+
 def assert_same_across_hosts(x: np.ndarray, name: str = "array") -> None:
     """Guard: verify an index artifact is identical on every host."""
     import jax

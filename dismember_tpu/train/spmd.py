@@ -107,7 +107,9 @@ def make_sharded_train_step(
     opt_state = jax.device_put(opt_state, oshard)
     bshard = NamedSharding(mesh, meshlib.batch_spec())
     rshard = NamedSharding(mesh, P())
-    sampler_state = sampler.device_state()
+    # replicate explicitly: under multi-process execution every jit input
+    # must be a global array (uncommitted host arrays are rejected)
+    sampler_state = jax.device_put(sampler.device_state(), rshard)
     sstate_shard = jax.tree.map(lambda _: rshard, sampler_state)
 
     @functools.partial(
