@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+from dismember_tpu.core.io import open_file
+
 from dismember_tpu.core import config as cfg
 from dismember_tpu.core.checkpoint import load_meta, load_pytree, save_pytree
 
@@ -62,7 +64,7 @@ def _initialize_tree(conf_path: str) -> None:
     tds.write_user_consumed_file(p.user_consumed_path, samples.user_consumed)
     ids, cats = unique_items_with_category(raw)
     sorted_ids, codes = category_sorted_codes(ids, cats)
-    with open(p.leaf_id_path, "w", encoding="utf-8") as f:
+    with open_file(p.leaf_id_path, "w", encoding="utf-8") as f:
         for i in ids:
             f.write(f"{int(i)}\n")
     write_tree(p.tree_pb_path, sorted_ids, codes, stat=samples.stat)

@@ -10,12 +10,14 @@ alternation store (params, opt_state, index arrays, rng, stage tag).
 
 from __future__ import annotations
 
+import io
 import json
-import os
 from typing import Any
 
 import jax
 import numpy as np
+
+from dismember_tpu.core.io import open_file, read_bytes, write_bytes
 
 
 def _path_str(path) -> str:
@@ -34,25 +36,26 @@ def save_pytree(path: str, tree: Any, meta: dict | None = None) -> None:
     """Save a pytree of arrays to ``path`` (.npz) with optional JSON meta."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays = {_path_str(p): np.asarray(v) for p, v in flat}
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    write_bytes(path if path.endswith(".npz") else path + ".npz", buf.getvalue())
     if meta is not None:
-        with open(_meta_path(path), "w", encoding="utf-8") as f:
-            json.dump(meta, f)
+        with open_file(_meta_path(path), "w", encoding="utf-8") as f:
+            f.write(json.dumps(meta))
 
 
 def load_pytree(path: str, like: Any) -> Any:
     """Load arrays saved by :func:`save_pytree` into the structure of ``like``."""
     npz_path = path if path.endswith(".npz") else path + ".npz"
-    data = np.load(npz_path)
+    data = np.load(io.BytesIO(read_bytes(npz_path)))
     paths, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = [data[_path_str(p)] for p, _ in paths]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_meta(path: str) -> dict:
-    with open(_meta_path(path), "r", encoding="utf-8") as f:
-        return json.load(f)
+    with open_file(_meta_path(path), "r", encoding="utf-8") as f:
+        return json.loads(f.read())
 
 
 def _meta_path(path: str) -> str:

@@ -14,6 +14,8 @@ import os
 import re
 from typing import Mapping
 
+from dismember_tpu.core.io import open_file
+
 
 def read_conf(path: str, prefix: str) -> dict[str, str]:
     """Parse a flat conf file and return the keys under ``prefix``.
@@ -23,7 +25,7 @@ def read_conf(path: str, prefix: str) -> dict[str, str]:
     the prefix.
     """
     out: dict[str, str] = {}
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):

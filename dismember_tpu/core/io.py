@@ -9,15 +9,17 @@ installed; plain paths use the local filesystem with no extra dependency.
 
 from __future__ import annotations
 
+import contextlib
 import os
-from typing import IO
+import tempfile
+from typing import IO, Iterator
 
 
 def is_remote(path: str) -> bool:
     return "://" in path and not path.startswith("file://")
 
 
-def open_file(path: str, mode: str = "rb") -> IO:
+def open_file(path: str, mode: str = "rb", encoding: str | None = None) -> IO:
     """Open a local or remote path (fsspec for URL schemes)."""
     if is_remote(path):
         try:
@@ -26,12 +28,59 @@ def open_file(path: str, mode: str = "rb") -> IO:
             raise ImportError(
                 f"remote path {path!r} requires fsspec (install gcsfs for gs://)"
             ) from e
-        return fsspec.open(path, mode).open()
+        return fsspec.open(path, mode, encoding=encoding).open()
     if "w" in mode or "a" in mode:
         parent = os.path.dirname(os.path.abspath(path))
         if parent:
             os.makedirs(parent, exist_ok=True)
-    return open(path, mode)
+    if "b" in mode:
+        return open(path, mode)
+    return open(path, mode, encoding=encoding)
+
+
+@contextlib.contextmanager
+def stage_in(path: str) -> Iterator[str]:
+    """Yield a LOCAL filesystem path holding ``path``'s contents.
+
+    Local paths pass through untouched; remote paths are downloaded to a
+    temporary file for the duration of the block.  Used around the native
+    (C++) codecs, which only speak local file descriptors."""
+    if not is_remote(path):
+        yield path
+        return
+    suffix = os.path.splitext(path)[1]
+    fd, tmp = tempfile.mkstemp(suffix=suffix)
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(read_bytes(path))
+        yield tmp
+    finally:
+        os.unlink(tmp)
+
+
+@contextlib.contextmanager
+def stage_out(path: str) -> Iterator[str]:
+    """Yield a LOCAL filesystem path; on exit, upload it to ``path``.
+
+    Local paths pass through (parent dirs created); remote paths get a
+    temporary local file whose bytes are pushed to the remote URL after the
+    block completes."""
+    if not is_remote(path):
+        parent = os.path.dirname(os.path.abspath(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        yield path
+        return
+    suffix = os.path.splitext(path)[1]
+    fd, tmp = tempfile.mkstemp(suffix=suffix)
+    os.close(fd)
+    try:
+        yield tmp
+        with open(tmp, "rb") as f:
+            write_bytes(path, f.read())
+    finally:
+        os.unlink(tmp)
 
 
 def read_bytes(path: str) -> bytes:

@@ -13,6 +13,8 @@ import dataclasses
 
 import numpy as np
 
+from dismember_tpu.core.io import open_file
+
 
 @dataclasses.dataclass
 class InitSamples:
@@ -35,21 +37,24 @@ def _is_number(s: str) -> bool:
 
 
 def read_csv(path: str) -> InitSamples:
-    """CSV ingest; uses the native host library when available."""
+    """CSV ingest (local or remote URL); uses the native host library when
+    available."""
+    from dismember_tpu.core.io import stage_in
     from dismember_tpu.data.native import parse_csv_native
 
-    native = parse_csv_native(path)
-    if native is not None:
-        users, items, cats, labels, timestamps, cat_names = native
-        return InitSamples(
-            user=users,
-            item=items,
-            category=cats,
-            label=labels,
-            timestamp=timestamps,
-            category_names=cat_names,
-        )
-    return _read_csv_python(path)
+    with stage_in(path) as local:
+        native = parse_csv_native(local)
+        if native is not None:
+            users, items, cats, labels, timestamps, cat_names = native
+            return InitSamples(
+                user=users,
+                item=items,
+                category=cats,
+                label=labels,
+                timestamp=timestamps,
+                category_names=cat_names,
+            )
+        return _read_csv_python(local)
 
 
 def _read_csv_python(path: str) -> InitSamples:
@@ -60,7 +65,7 @@ def _read_csv_python(path: str) -> InitSamples:
     times: list[int] = []
     cat_dict: dict[str, int] = {}
     label_dict: dict[str, float] = {}
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             arr = line.strip().split(",")
             if len(arr) != 5 or not _is_number(arr[0]):

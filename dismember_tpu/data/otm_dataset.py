@@ -19,6 +19,8 @@ import math
 
 import numpy as np
 
+from dismember_tpu.core.io import open_file
+
 from dismember_tpu.constants import PADDING_IDX
 from dismember_tpu.data.ingest import InitSamples, read_csv
 
@@ -231,14 +233,14 @@ def build_otm_data(
 
 def save_mapping(path: str, item_to_code: dict[int, int]) -> None:
     """``item code`` text lines (tdm Serialization.saveMapping parity)."""
-    with open(path, "w", encoding="utf-8") as f:
+    with open_file(path, "w", encoding="utf-8") as f:
         for item, code in item_to_code.items():
             f.write(f"{item} {code}\n")
 
 
 def load_mapping(path: str) -> tuple[dict[int, int], dict[int, int]]:
     item_to_code: dict[int, int] = {}
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.split()
             if len(parts) >= 2:

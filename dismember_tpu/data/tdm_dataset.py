@@ -20,6 +20,8 @@ import math
 
 import numpy as np
 
+from dismember_tpu.core.io import open_file
+
 from dismember_tpu.constants import PADDING_ID
 from dismember_tpu.data.ingest import InitSamples, read_csv, user_interactions
 
@@ -164,7 +166,7 @@ def generate_full_samples(
 
 def write_train_file(path: str, samples: TDMSamples, split_mode: bool = True) -> None:
     per_user_counter: dict[int, int] = {}
-    with open(path, "w", encoding="utf-8") as f:
+    with open_file(path, "w", encoding="utf-8") as f:
         for seq, target, user in zip(
             samples.train_seqs, samples.train_targets, samples.train_users
         ):
@@ -176,7 +178,7 @@ def write_train_file(path: str, samples: TDMSamples, split_mode: bool = True) ->
 
 
 def write_eval_file(path: str, samples: TDMSamples) -> None:
-    with open(path, "w", encoding="utf-8") as f:
+    with open_file(path, "w", encoding="utf-8") as f:
         for seq, labels, user in zip(
             samples.eval_seqs, samples.eval_labels, samples.eval_users
         ):
@@ -187,13 +189,13 @@ def write_eval_file(path: str, samples: TDMSamples) -> None:
 
 
 def write_stat_file(path: str, stat: dict[int, int]) -> None:
-    with open(path, "w", encoding="utf-8") as f:
+    with open_file(path, "w", encoding="utf-8") as f:
         for item, count in stat.items():
             f.write(f"{item}, {count}\n")
 
 
 def write_user_consumed_file(path: str, user_consumed: dict[int, np.ndarray]) -> None:
-    with open(path, "w", encoding="utf-8") as f:
+    with open_file(path, "w", encoding="utf-8") as f:
         for user, items in user_consumed.items():
             tail = ",".join(str(int(x)) for x in items)
             f.write(f"user_{user},{tail}\n")
@@ -207,7 +209,7 @@ def read_train_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """
     seqs: list[list[int]] = []
     targets: list[int] = []
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             arr = line.strip().split(",")
             if len(arr) < 3:
@@ -228,7 +230,7 @@ def read_eval_file(path: str, seq_len: int) -> tuple[np.ndarray, np.ndarray, np.
     seqs: list[list[int]] = []
     labels: list[list[int]] = []
     users: list[int] = []
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             arr = line.strip().split(",")
             users.append(int(arr[0][5:]))  # strip "user_"
@@ -247,7 +249,7 @@ def read_eval_file(path: str, seq_len: int) -> tuple[np.ndarray, np.ndarray, np.
 
 def read_user_consumed_file(path: str) -> dict[int, np.ndarray]:
     out: dict[int, np.ndarray] = {}
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             arr = line.strip().split(",")
             out[int(arr[0][5:])] = np.asarray([int(x) for x in arr[1:]], dtype=np.int64)
@@ -256,7 +258,7 @@ def read_user_consumed_file(path: str) -> dict[int, np.ndarray]:
 
 def read_stat_file(path: str) -> dict[int, int]:
     out: dict[int, int] = {}
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             arr = line.strip().split(",")
             if len(arr) == 2:

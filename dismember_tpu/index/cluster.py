@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dismember_tpu.core.io import open_file
+
 from dismember_tpu.index.tree_io import write_tree
 
 
@@ -412,7 +414,7 @@ def read_embeddings_csv(path: str, delimiter: str = ",") -> tuple[np.ndarray, np
     (RecursiveCluster.readFile parity)."""
     ids: list[int] = []
     vecs: list[list[float]] = []
-    with open(path, "r", encoding="utf-8") as f:
+    with open_file(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split(delimiter)
             if len(parts) < 2:

@@ -78,13 +78,17 @@ class PathIndex:
             ]
             items.append(Item(item=raw_item, id=dense_id, paths=paths))
         blob = ItemSet(items=items).encode()
-        with open(path, "wb") as f:
+        from dismember_tpu.core.io import open_file
+
+        with open_file(path, "wb") as f:
             f.write(struct.pack(">i", len(blob)))
             f.write(blob)
 
     @classmethod
     def read(cls, path: str, num_nodes: int) -> tuple["PathIndex", dict[int, int]]:
-        with open(path, "rb") as f:
+        from dismember_tpu.core.io import open_file
+
+        with open_file(path, "rb") as f:
             (size,) = struct.unpack(">i", f.read(4))
             blob = f.read(size)
         itemset = ItemSet.decode(blob)

@@ -125,15 +125,29 @@ def write_tree(
         anc_probs = np.ones(len(anc_codes), dtype=np.float32)
     anc_ids = anc_codes + offset
 
-    # fast path: native single-pass writer
+    # all writes go through a local staging path (remote URLs are uploaded
+    # on completion — the reference's Hadoop-FS-everywhere property,
+    # scalann utils/File.scala:12-57)
+    from dismember_tpu.core.io import stage_out
     from dismember_tpu.data.native import write_tree_native
 
-    if write_tree_native(
-        path, ids_sorted, codes_sorted, leaf_probs, anc_codes, anc_ids, anc_probs,
-        max_level,
-    ):
-        return
+    with stage_out(path) as local:
+        # fast path: native single-pass writer
+        if write_tree_native(
+            local, ids_sorted, codes_sorted, leaf_probs, anc_codes, anc_ids,
+            anc_probs, max_level,
+        ):
+            return
+        _write_tree_python(
+            local, ids_sorted, codes_sorted, leaf_probs, anc_codes, anc_ids,
+            anc_probs, max_level,
+        )
 
+
+def _write_tree_python(
+    path, ids_sorted, codes_sorted, leaf_probs, anc_codes, anc_ids, anc_probs,
+    max_level,
+) -> None:
     with open(path, "wb") as f:
 
         def write_kv(key: str, value: bytes) -> None:
@@ -170,19 +184,22 @@ def write_tree(
 
 
 def read_tree(path: str) -> LoadedTree:
-    """Load a KV tree file, mirroring DistTree.loadData/loadItems."""
-    # fast path: full native decode to columnar arrays
+    """Load a KV tree file (local or remote URL), mirroring
+    DistTree.loadData/loadItems."""
+    from dismember_tpu.core.io import stage_in
     from dismember_tpu.data.native import read_tree_native
 
-    native = read_tree_native(path)
-    if native is not None:
-        return LoadedTree(**native)
+    with stage_in(path) as local:
+        # fast path: full native decode to columnar arrays
+        native = read_tree_native(local)
+        if native is not None:
+            return LoadedTree(**native)
+        with open(local, "rb") as f:
+            data = f.read()
 
     code_nodes: dict[int, Node] = {}
     parts: list[IdCodePart] = []
     meta: TreeMeta | None = None
-    with open(path, "rb") as f:
-        data = f.read()
 
     pos = 0
     n = len(data)

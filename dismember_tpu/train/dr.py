@@ -257,12 +257,25 @@ class DRTrainer:
 
     def evaluate(self) -> DREvalResult:
         """Eval parity with dr Evaluator.evaluate: per-batch layer CE vector +
-        exact-softmax rerank loss + per-user recommend metrics."""
+        exact-softmax rerank loss + per-user recommend metrics.
+
+        The recommend leg runs on device (path beam -> dense path table ->
+        rerank -> top-k, one jit per batch) with padded consumed filtering;
+        metrics are batch-vectorized.  Falls back to the host recommend path
+        when the dense path table doesn't fit."""
+        from dismember_tpu.core.metrics import compute_metrics_batch
+        from dismember_tpu.retrieval.dr_serve import make_dr_serving_fn
+
         d = self.data
         m = len(d.eval_seqs)
         if m == 0:
             return DREvalResult([0.0] * self.num_layers, 0.0, 0.0, 0.0, 0.0)
-        p2i = self.path_index.path_to_items()
+        serve = make_dr_serving_fn(self, topk=self.topk)
+        p2i = None if serve is not None else self.path_index.path_to_items()
+        max_consumed = max(
+            (len(d.user_consumed.get(int(u), ())) for u in d.eval_users),
+            default=0,
+        )
         layer_loss = np.zeros(self.num_layers)
         rerank_loss = 0.0
         prec = rec = ndcg = 0.0
@@ -270,6 +283,7 @@ class DRTrainer:
         bsz = self.eval_targets_per_batch
         for s in range(0, m, bsz):
             e = min(s + bsz, m)
+            b = e - s
             seqs_np = d.eval_seqs[s:e]
             seqs = jnp.asarray(seqs_np, jnp.int32)
             targets = d.eval_labels[s:e, 0]
@@ -282,19 +296,43 @@ class DRTrainer:
                     self.rerank_params, seqs, jnp.asarray(targets, jnp.int32)
                 )
             ) * (e - s)
-            consumed = [
-                d.user_consumed.get(int(u), np.empty(0, np.int64))
-                for u in d.eval_users[s:e]
-            ]
-            recs = self.recommend_batch(
-                seqs_np, topk=self.topk, consumed=consumed, path_to_items=p2i
-            )
-            for i, r in enumerate(recs):
-                labels = d.eval_labels[s + i]
-                p, rcl, nd = compute_metrics(r, labels[labels >= 0])
-                prec += p
-                rec += rcl
-                ndcg += nd
+            if serve is not None:
+                # fixed shapes per jit: pad the tail batch, mask it out after
+                pad = bsz - b
+                sp = (
+                    np.concatenate([seqs_np, np.repeat(seqs_np[:1], pad, 0)])
+                    if pad
+                    else seqs_np
+                )
+                cons = np.full((bsz, max(max_consumed, 1)), -1, dtype=np.int32)
+                for i, u in enumerate(d.eval_users[s:e]):
+                    c = d.user_consumed.get(int(u), ())
+                    cons[i, : len(c)] = c
+                items, _sc = serve(
+                    self.layer_params,
+                    self.rerank_params,
+                    jnp.asarray(sp, jnp.int32),
+                    jnp.asarray(cons),
+                )
+                recs_arr = np.asarray(items)[:b]
+                p, r, nd = compute_metrics_batch(recs_arr, d.eval_labels[s:e])
+                prec += float(p.sum())
+                rec += float(r.sum())
+                ndcg += float(nd.sum())
+            else:
+                consumed = [
+                    d.user_consumed.get(int(u), np.empty(0, np.int64))
+                    for u in d.eval_users[s:e]
+                ]
+                recs = self.recommend_batch(
+                    seqs_np, topk=self.topk, consumed=consumed, path_to_items=p2i
+                )
+                for i, r in enumerate(recs):
+                    labels = d.eval_labels[s + i]
+                    p, rcl, nd = compute_metrics(r, labels[labels >= 0])
+                    prec += p
+                    rec += rcl
+                    ndcg += nd
             count += e - s
         return DREvalResult(
             layer_loss=(layer_loss / count).tolist(),

@@ -88,7 +88,17 @@ class OTMTrainer:
         seq_len: int = 10,
         target_mode: str = "pseudo",
         seed: int = 42,
+        precision: str = "f32",
     ):
+        """``precision="f64"`` reproduces the reference's Double-precision OTM
+        (otm/.../optim/LocalOptimizer.scala:18 — NumericDouble throughout):
+        params, pseudo-target scores, losses and Adam state all run float64
+        (via a thread-local ``jax.enable_x64`` scope, so the rest
+        of the process stays f32).  Default f32 is the TPU-native dtype."""
+        if precision not in ("f32", "f64"):
+            raise ValueError(f"precision must be f32 or f64, got {precision!r}")
+        self._x64 = precision == "f64"
+        self.dtype = jnp.float64 if self._x64 else jnp.float32
         self.data = data
         self.model_type = model_type
         self.embed_size = embed_size
@@ -106,21 +116,34 @@ class OTMTrainer:
 
         num_index = data.num_tree_nodes
         key = jax.random.PRNGKey(seed)
+        # init is always drawn in f32 (jax.random produces *different* sample
+        # values per dtype) and upcast, so f32/f64 runs start from identical
+        # weights and precision is the only difference between the modes
         if model_type == "din":
-            self.params = din.init_params(key, num_index, embed_size)
+            params = din.init_params(key, num_index, embed_size)
             self.forward = din.forward
         elif model_type == "deepfm":
-            self.params = deepfm.init_params(key, num_index, embed_size, seq_len)
+            params = deepfm.init_params(key, num_index, embed_size, seq_len)
             self.forward = deepfm.forward
         else:
             raise ValueError(f"unknown deep model: {model_type}")
-        self.optimizer = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        self.opt_state = self.optimizer.init(self.params)
+        with self._ctx():
+            self.params = jax.tree.map(lambda x: x.astype(self.dtype), params)
+            self.optimizer = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+            self.opt_state = self.optimizer.init(self.params)
 
         self._beam_traj = jax.jit(self._beam_trajectory)
         self._pseudo = jax.jit(self._pseudo_targets)
         self._level_step = jax.jit(self._level_step_impl, donate_argnums=(0, 1))
         self._train_batch = jax.jit(self._train_batch_impl, donate_argnums=(0, 1))
+
+    def _ctx(self):
+        """Thread-local x64 scope for f64 parity mode; no-op in f32."""
+        if self._x64:
+            return jax.enable_x64(True)
+        import contextlib
+
+        return contextlib.nullcontext()
 
     # ------------------------------------------------------------------
     def _beam_trajectory(self, params, seqs):
@@ -162,7 +185,7 @@ class OTMTrainer:
         [n_levels, B, J]; index i <-> tree level start_level+1+i.
         """
         ids = target_items.astype(jnp.int32)
-        labels = (ids >= 0).astype(jnp.float32)
+        labels = (ids >= 0).astype(self.dtype)
         out_ids, out_labels = [ids], [labels]
         for _ in range(self.n_levels - 1):
             valid = ids >= 0
@@ -190,7 +213,7 @@ class OTMTrainer:
         cur = jnp.asarray(target_items, jnp.int32)
         for _ in range(self.n_levels):
             ids_levels.append(cur)
-            labels_levels.append((cur >= 0).astype(jnp.float32))
+            labels_levels.append((cur >= 0).astype(self.dtype))
             cur = jnp.where(cur >= 0, (cur - 1) >> 1, -1)
         return jnp.stack(ids_levels[::-1]), jnp.stack(labels_levels[::-1])
 
@@ -199,9 +222,9 @@ class OTMTrainer:
         valid = nodes >= 0
         eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
         labels = jnp.clip(
-            jnp.einsum("bwj,bj->bw", eq.astype(jnp.float32), t_labels), 0.0, 1.0
+            jnp.einsum("bwj,bj->bw", eq.astype(self.dtype), t_labels), 0.0, 1.0
         )
-        weights = valid.astype(jnp.float32)
+        weights = valid.astype(self.dtype)
 
         def loss_fn(p):
             logits = self.forward(p, jnp.where(valid, nodes, -1), seqs)
@@ -249,9 +272,10 @@ class OTMTrainer:
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
                 seqs = jnp.asarray(d.train_seqs[idx], dtype=jnp.int32)
                 targets = jnp.asarray(d.train_labels[idx], dtype=jnp.int32)
-                self.params, self.opt_state, losses = self._train_batch(
-                    self.params, self.opt_state, seqs, targets
-                )
+                with self._ctx():
+                    self.params, self.opt_state, losses = self._train_batch(
+                        self.params, self.opt_state, seqs, targets
+                    )
                 level_losses = [float(x) for x in losses]
                 epoch_losses.append(level_losses)
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
@@ -284,7 +308,10 @@ class OTMTrainer:
     # ------------------------------------------------------------------
     def batch_beam_search(self, seqs: np.ndarray):
         """Final-level candidates [B, 2*beam] (codes) + scores."""
-        nodes, scores = self._beam_traj(self.params, jnp.asarray(seqs, jnp.int32))
+        with self._ctx():
+            nodes, scores = self._beam_traj(
+                self.params, jnp.asarray(seqs, jnp.int32)
+            )
         return np.asarray(nodes[-1]), np.asarray(scores[-1])
 
     def recommend_batch(
@@ -322,40 +349,61 @@ class OTMTrainer:
     def evaluate(self) -> OTMEvalResult:
         """Eval parity with otm Evaluator.evaluate: beam search per eval
         sample, consumed+validity filter, top-k; loss = summed BCE of top-k
-        scores against membership labels / eval size; metrics averaged."""
+        scores against membership labels / eval size; metrics averaged.
+
+        Fully batch-vectorized (no per-row host loop): filtering/top-k as
+        masked argsort over the whole batch, metrics via
+        :func:`~dismember_tpu.core.metrics.compute_metrics_batch`."""
+        from dismember_tpu.core.metrics import compute_metrics_batch
+
         d = self.data
         m = len(d.eval_seqs)
         if m == 0:
             return OTMEvalResult()
+        all_nodes = d.all_nodes
+        max_consumed = max(
+            (len(d.user_consumed.get(int(u), ())) for u in d.eval_users), default=0
+        )
         total_loss = 0.0
         prec = rec = ndcg = 0.0
+        k = self.topk
         for s in range(0, m, self.eval_batch_size):
             e = min(s + self.eval_batch_size, m)
-            consumed = [
-                d.user_consumed.get(int(u), np.empty(0, np.int64))
-                for u in d.eval_users[s:e]
-            ]
-            results = self.recommend_batch(
-                d.eval_seqs[s:e],
-                topk=self.topk,
-                consumed=consumed,
-                return_codes=True,
-                with_scores=True,
-            )
-            for i, (codes, scores) in enumerate(results):
-                labels_row = d.eval_labels[s + i]
-                labels_row = labels_row[labels_row >= 0]
-                is_pos = np.isin(codes, labels_row).astype(np.float64)
-                x = scores.astype(np.float64)
-                total_loss += float(
-                    np.sum(np.maximum(x, 0) - x * is_pos + np.log1p(np.exp(-np.abs(x))))
-                )
-                from dismember_tpu.core.metrics import compute_metrics
+            b = e - s
+            ids, scores = self.batch_beam_search(d.eval_seqs[s:e])
+            ok = (ids >= 0) & (ids < len(all_nodes))
+            ok &= np.where(ok, all_nodes[np.clip(ids, 0, len(all_nodes) - 1)], False)
+            if max_consumed > 0:
+                cons = np.full((b, max_consumed), -1, dtype=np.int64)
+                for i, u in enumerate(d.eval_users[s:e]):
+                    c = d.user_consumed.get(int(u), ())
+                    cons[i, : len(c)] = c
+                ok &= ~(ids[:, :, None] == cons[:, None, :]).any(-1)
+            masked = np.where(ok, scores.astype(np.float64), -np.inf)
+            order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+            codes = np.take_along_axis(ids, order, axis=1)
+            sc = np.take_along_axis(masked, order, axis=1)
+            sel = np.isfinite(sc)
+            codes = np.where(sel, codes, -1)
 
-                p, r, nd = compute_metrics(codes, labels_row)
-                prec += p
-                rec += r
-                ndcg += nd
+            labels = d.eval_labels[s:e]
+            is_pos = (
+                (codes[:, :, None] == labels[:, None, :]) & (labels >= 0)[:, None, :]
+            ).any(-1)
+            x = np.where(sel, sc, 0.0)
+            total_loss += float(
+                np.sum(
+                    np.where(
+                        sel,
+                        np.maximum(x, 0) - x * is_pos + np.log1p(np.exp(-np.abs(x))),
+                        0.0,
+                    )
+                )
+            )
+            p, r, nd = compute_metrics_batch(codes, labels)
+            prec += float(p.sum())
+            rec += float(r.sum())
+            ndcg += float(nd.sum())
         return OTMEvalResult(
             loss=total_loss / m, precision=prec / m, recall=rec / m, ndcg=ndcg / m
         )

@@ -19,6 +19,7 @@ import time
 
 
 from dismember_tpu.core.checkpoint import load_pytree, save_pytree
+from dismember_tpu.core.io import exists as path_exists, open_file
 
 logger = logging.getLogger("dismember_tpu.pipeline")
 
@@ -32,14 +33,14 @@ class StageState:
     artifacts: dict  # stage -> artifact path
 
     def save(self, path: str) -> None:
-        with open(path, "w", encoding="utf-8") as f:
+        with open_file(path, "w", encoding="utf-8") as f:
             json.dump(dataclasses.asdict(self), f)
 
     @classmethod
     def load(cls, path: str) -> "StageState | None":
-        if not os.path.exists(path):
+        if not path_exists(path):
             return None
-        with open(path, "r", encoding="utf-8") as f:
+        with open_file(path, "r", encoding="utf-8") as f:
             return cls(**json.load(f))
 
 
@@ -60,7 +61,8 @@ def run_tdm_alternation(
     from dismember_tpu.index.cluster import cluster_tree_from_embeddings
     from dismember_tpu.train.tdm import TDMTrainer
 
-    os.makedirs(workdir, exist_ok=True)
+    if "://" not in workdir:
+        os.makedirs(workdir, exist_ok=True)
     state_path = os.path.join(workdir, "pipeline_state.json")
     state = StageState.load(state_path) or StageState(
         round=0, stage="init", artifacts={"tree": initial_tree_path}
@@ -75,7 +77,7 @@ def run_tdm_alternation(
         tree = ArrayTree.from_file(state.artifacts["tree"])
         trainer = TDMTrainer(tree=tree, **kwargs)
         model_ckpt = os.path.join(workdir, f"model_round{rnd}")
-        if state.stage == "trained" and os.path.exists(model_ckpt + ".npz"):
+        if state.stage == "trained" and path_exists(model_ckpt + ".npz"):
             trainer.params = load_pytree(model_ckpt, trainer.params)
         else:
             t0 = time.perf_counter()
@@ -128,7 +130,8 @@ def run_dr_alternation(
     from dismember_tpu.train.dr import DRTrainer
     from dismember_tpu.train.dr_coordinate import coordinate_descent
 
-    os.makedirs(workdir, exist_ok=True)
+    if "://" not in workdir:
+        os.makedirs(workdir, exist_ok=True)
     state_path = os.path.join(workdir, "dr_pipeline_state.json")
     state = StageState.load(state_path) or StageState(
         round=0, stage="init", artifacts={}
@@ -136,10 +139,10 @@ def run_dr_alternation(
     kwargs = dict(trainer_kwargs or {})
     trainer = DRTrainer(data, **kwargs)
     mapping_path = state.artifacts.get("mapping")
-    if mapping_path and os.path.exists(mapping_path):
+    if mapping_path and path_exists(mapping_path):
         trainer.path_index, _ = PathIndex.read(mapping_path, trainer.num_nodes)
     layer_ckpt = state.artifacts.get("layer_params")
-    if layer_ckpt and os.path.exists(layer_ckpt + ".npz"):
+    if layer_ckpt and path_exists(layer_ckpt + ".npz"):
         trainer.layer_params = load_pytree(layer_ckpt, trainer.layer_params)
         trainer.rerank_params = load_pytree(
             state.artifacts["rerank_params"], trainer.rerank_params

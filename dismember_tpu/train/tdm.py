@@ -355,7 +355,9 @@ class TDMTrainer:
         rows read from the shared embedding table at each item's leaf code
         (tdm/.../utils/Serialization.scala:15-58)."""
         table = np.asarray(self.params["embedding"])
-        with open(path, "w", encoding="utf-8") as f:
+        from dismember_tpu.core.io import open_file
+
+        with open_file(path, "w", encoding="utf-8") as f:
             for iid, code in zip(self.tree.item_ids, self.tree.item_codes):
                 vec = table[code]
                 f.write(str(int(iid)))

@@ -153,3 +153,37 @@ def test_one_user_sample_mode(small_csv):
     # sequences are exactly the first seq_len items (no padding for users with
     # > seq_len interactions)
     assert (d.train_seqs >= 0).all()
+
+
+def test_otm_f64_precision_mode(tiny_otm):
+    """Double-precision parity mode (reference otm LocalOptimizer.scala:18):
+    params/losses run f64; pseudo targets on a pinned batch agree with f32."""
+    d = tiny_otm
+    kwargs = dict(
+        embed_size=8, learning_rate=3e-3, total_train_batch_size=512,
+        beam_size=4, topk=5, target_mode="pseudo", seed=0,
+    )
+    tr32 = OTMTrainer(d, **kwargs)
+    tr64 = OTMTrainer(d, precision="f64", **kwargs)
+
+    assert tr64.params["embedding"].dtype == jnp.float64
+    assert tr32.params["embedding"].dtype == jnp.float32
+    leaves = jax.tree.leaves(tr64.opt_state)
+    assert any(getattr(l, "dtype", None) == jnp.float64 for l in leaves)
+
+    seqs = jnp.asarray(d.train_seqs[:8], jnp.int32)
+    targets = jnp.asarray(d.train_labels[:8], jnp.int32)
+    t32_ids, t32_lab = jax.device_get(tr32._pseudo(tr32.params, seqs, targets))
+    with tr64._ctx():
+        t64_ids, t64_lab = jax.device_get(tr64._pseudo(tr64.params, seqs, targets))
+    assert t64_lab.dtype == np.float64
+    # same init (params differ only by dtype) -> identical pseudo targets
+    np.testing.assert_array_equal(t64_ids, t32_ids)
+    np.testing.assert_allclose(t64_lab, t32_lab.astype(np.float64), atol=1e-6)
+
+    # one epoch trains finite and leaves dtype intact
+    logs = tr64.train(num_epochs=1)
+    assert np.isfinite(logs[-1]["level_losses"]).all()
+    assert tr64.params["embedding"].dtype == jnp.float64
+    # the x64 scope must not leak into the rest of the process
+    assert jnp.asarray(np.zeros(2)).dtype == jnp.float32
