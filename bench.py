@@ -25,6 +25,97 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# Round-1 measured values (BASELINE.md) — the depth-regime numbers future
+# rounds must beat; vs_baseline for the deep rows is measured/these.
+R01_DEEP_QPS_1M = 50_000.0
+R01_TRAIN_ROWS_10M = 108_000.0
+
+
+def deep_catalog_bench() -> None:
+    """1M-item synthetic catalog (20 levels): beam QPS + train rows/s.
+
+    Captures the depth regime (24 sequential level dispatches at 10M in
+    BASELINE.md) in the driver-recorded bench so round-over-round regressions
+    at depth are visible, not just the 3.3k-item headline."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+    from dismember_tpu.models import din
+    from dismember_tpu.retrieval.tree_beam import make_beam_fn
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    n_items = 1_000_000
+    ids = np.arange(1, n_items + 1)
+    cats = ids % 97
+    sorted_ids, codes = category_sorted_codes(ids, cats)
+    with tempfile.TemporaryDirectory() as td:
+        tree_path = os.path.join(td, "deep_tree.bin")
+        write_tree(tree_path, sorted_ids, codes)
+        tree = ArrayTree.from_file(tree_path)
+
+    neg_counts = ",".join(
+        str(min(i, 2**i - 1)) for i in range(tree.max_level + 1)
+    )
+    trainer = TDMTrainer(
+        tree=tree, model_type="din", embed_size=16,
+        layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=0,
+    )
+
+    rng = np.random.default_rng(0)
+    # --- train rows/s (expanded rows = targets * sampler unit) ------------
+    b = trainer.num_targets_per_batch
+    seqs = rng.integers(1, n_items + 1, size=(b, 10))
+    targets = rng.integers(1, n_items + 1, size=b)
+    trainer.train(seqs, targets, iterations=3, progress_interval=100)  # compile
+    n_steps = 20
+    t0 = time.perf_counter()
+    trainer.train(seqs, targets, iterations=n_steps, progress_interval=100)
+    dt = time.perf_counter() - t0
+    rows_per_s = n_steps * b * trainer.sampler.unit / dt
+
+    # --- serving QPS ------------------------------------------------------
+    beam_fn = make_beam_fn(
+        trainer.forward, tree, beam=20,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    seq_codes = tree.ids_to_codes(rng.integers(1, n_items + 1, size=(4096, 10)))
+    x = jnp.asarray(seq_codes)
+    out, _ = beam_fn(trainer.params, x)
+    out.block_until_ready()
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out, _ = beam_fn(trainer.params, x)
+    out.block_until_ready()
+    qps = n_iters * len(seq_codes) / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tdm_deep_catalog_beam_qps_1m_items",
+                "value": round(qps, 1),
+                "unit": "queries/s (beam=20, 1M items, 20 levels)",
+                "vs_baseline": round(qps / R01_DEEP_QPS_1M, 3),
+            }
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tdm_deep_catalog_train_rows_per_s_1m_items",
+                "value": round(rows_per_s, 1),
+                "unit": "expanded rows/s (1M items, full train step)",
+                "vs_baseline": round(rows_per_s / R01_TRAIN_ROWS_10M, 3),
+            }
+        ),
+        flush=True,
+    )
+
 
 def main() -> None:
     import jax
@@ -130,4 +221,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # deep-catalog rows first; the headline metric stays the LAST JSON line
+    # (the driver's parsed record) for round-over-round comparability
+    if os.environ.get("DISMEMBER_BENCH_DEEP", "1") != "0":
+        deep_catalog_bench()
     main()

@@ -96,6 +96,7 @@ def _train_deep_model(conf_path: str) -> None:
         seq_len=p.seq_len,
         layer_neg_counts=p.layer_negative_counts,
         sample_with_prob=p.sample_with_probability,
+        sample_tolerance=p.sample_tolerance,
         start_sample_level=p.start_sample_level,
         topk=p.topk_number,
         beam_size=p.beam_size,

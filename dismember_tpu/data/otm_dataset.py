@@ -47,6 +47,9 @@ class OTMData:
     eval_labels: np.ndarray  # [M, max_labels] codes, -1 padded
     eval_users: np.ndarray
     user_consumed: dict[int, np.ndarray]  # mapped codes
+    # configured labels-per-sample; train_labels may be wider in
+    # one_user_sample mode (ragged full-future lists, -1 padded)
+    label_num: int = 0
 
     @property
     def num_tree_nodes(self) -> int:
@@ -136,9 +139,12 @@ def build_otm_data(
     pad = np.full(seq_len - min_seq_len, PADDING_IDX, dtype=np.int64)
 
     if data_mode == "one_user_sample":
-        # OTM's alternate mode (LocalDataSet.generateOneSamplePerUser:44-67):
-        # one sample per user — first seq_len items are the sequence, the rest
-        # are labels; the sample set is shuffled and split by ratio.
+        # OTM's alternate mode (LocalDataSet.generateOneSamplePerUser:48-67):
+        # one sample per user — first seq_len items are the sequence, ALL
+        # remaining items are labels (variable length, kept in full like the
+        # reference's List[Int]); the sample set is shuffled and split by
+        # ratio.  Train labels are stored -1-padded to the global max; the
+        # trainer re-pads per batch.
         all_samples: list[tuple[np.ndarray, np.ndarray, int]] = []
         for items_u, user in zip(groups, group_users):
             _, fi = np.unique(items_u, return_index=True)
@@ -156,7 +162,7 @@ def build_otm_data(
             seq, labels, user = all_samples[oi]
             if k < split_point:
                 train_seqs.append(seq)
-                train_labels.append(labels[:label_num].tolist())
+                train_labels.append(labels.tolist())
                 train_users.append(user)
             else:
                 eval_seqs.append(seq)
@@ -200,7 +206,8 @@ def build_otm_data(
         eval_labels.append(labels)
         eval_users.append(user)
 
-    tl = np.full((len(train_labels), label_num), -1, dtype=np.int64)
+    tl_width = max(label_num, max((len(l) for l in train_labels), default=0))
+    tl = np.full((len(train_labels), tl_width), -1, dtype=np.int64)
     for i, l in enumerate(train_labels):
         tl[i, : len(l)] = l
     max_el = max((len(l) for l in eval_labels), default=1)
@@ -228,6 +235,7 @@ def build_otm_data(
         eval_labels=el,
         eval_users=np.asarray(eval_users, dtype=np.int64),
         user_consumed=user_consumed,
+        label_num=label_num,
     )
 
 

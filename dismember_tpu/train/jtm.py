@@ -82,12 +82,12 @@ class GenericTreeLearner:
         return self.rows_codes
 
     def _old_ancestors_at_level(self, level: int) -> np.ndarray:
-        codes = self.item_old_codes.astype(np.int64).copy()
-        max_code = (1 << (level + 1)) - 1
-        while (codes >= max_code).any():
-            over = codes >= max_code
-            codes[over] = (codes[over] - 1) >> 1
-        return codes
+        """Heap ancestor of each item's old code at ``level``, O(N): the
+        ancestor k levels up of code c is ((c+1) >> k) - 1."""
+        codes = self.item_old_codes.astype(np.int64)
+        cur_level = np.floor(np.log2(np.maximum(codes, 0) + 1)).astype(np.int64)
+        shift = np.maximum(cur_level - level, 0)
+        return ((codes + 1) >> shift) - 1
 
     def _score_impl(self, params, chain_codes, seqs):
         """chain_codes [R, C], seqs [R, L] -> logits [R, C]."""

@@ -140,4 +140,28 @@ def run_tdm_steps(
         losses.append(float(loss))
 
     host_params = multihost.gather_to_host(params)
-    return {"losses": losses, "params": host_params}
+
+    # serving leg: sharded beam search over the same mesh with the trained
+    # params (row-sharded table; query batch sharded on 'data') — cross-
+    # process collective gathers on the serving path, not just training
+    from dismember_tpu.train.spmd import make_sharded_beam_fn
+
+    beam_fn, beam_params = make_sharded_beam_fn(
+        din.forward, tree, 4, mesh, host_params,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    eval_seqs = tree.ids_to_codes(
+        np.random.default_rng(seed + 2).integers(
+            1, n_items + 1, size=(global_batch_size, 10)
+        )
+    ).astype(np.int32)
+    (sc,) = (multihost.device_batch(mesh, eval_seqs),)
+    ids, scores = beam_fn(beam_params, sc)
+    beam = multihost.gather_to_host({"ids": ids, "scores": scores})
+
+    return {
+        "losses": losses,
+        "params": host_params,
+        "beam_ids": beam["ids"],
+        "beam_scores": beam["scores"],
+    }

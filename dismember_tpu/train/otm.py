@@ -110,7 +110,7 @@ class OTMTrainer:
         self.start_level = lower_log2(beam_size)
         self.leaf_level = upper_log2(data.num_items)
         self.n_levels = self.leaf_level - self.start_level
-        self.label_num = data.train_labels.shape[1]
+        self.label_num = data.label_num or data.train_labels.shape[1]
         self.train_batch_size = max(1, total_train_batch_size // (beam_size * 2))
         self.eval_batch_size = max(1, total_eval_batch_size // (beam_size * 2))
 
@@ -271,7 +271,16 @@ class OTMTrainer:
             for bi in range(num_batches):
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
                 seqs = jnp.asarray(d.train_seqs[idx], dtype=jnp.int32)
-                targets = jnp.asarray(d.train_labels[idx], dtype=jnp.int32)
+                targets_np = d.train_labels[idx]
+                if targets_np.shape[1] > self.label_num:
+                    # ragged one_user_sample labels: pad each batch only to
+                    # its own max (power-of-2 bucketed to bound recompiles),
+                    # matching the reference's variable-length target lists
+                    # (otm LocalDataSet.scala:69-104)
+                    jmax = int((targets_np >= 0).sum(axis=1).max(initial=0))
+                    width = max(self.label_num, 1 << max(jmax - 1, 0).bit_length())
+                    targets_np = targets_np[:, : min(width, targets_np.shape[1])]
+                targets = jnp.asarray(targets_np, dtype=jnp.int32)
                 with self._ctx():
                     self.params, self.opt_state, losses = self._train_batch(
                         self.params, self.opt_state, seqs, targets

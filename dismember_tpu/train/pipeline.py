@@ -174,3 +174,188 @@ def run_dr_alternation(
         state.stage = "indexed"
         state.save(state_path)
     return trainer, results
+
+
+def run_jtm_alternation(
+    workdir: str,
+    samples,  # TDMSamples
+    initial_tree_path: str,
+    rounds: int = 2,
+    iterations_per_round: int = 2000,
+    gap: int = 2,
+    hierarchical: bool = False,
+    min_level: int = 0,
+    trainer_kwargs: dict | None = None,
+    eval_every_round: bool = True,
+):
+    """JTM loop: train scorer -> tree learning (greedy weighted re-assignment)
+    -> retrain, with the same stage checkpoint/resume as the TDM driver.
+
+    Mirrors the reference's human-driven jtm-train-deep-model /
+    jtm-tree-learning CLI alternation (jtm/.../optim/JTM.scala).  Returns
+    (final trainer, per-round eval results).
+    """
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    if "://" not in workdir:
+        os.makedirs(workdir, exist_ok=True)
+    state_path = os.path.join(workdir, "jtm_pipeline_state.json")
+    state = StageState.load(state_path) or StageState(
+        round=0, stage="init", artifacts={"tree": initial_tree_path}
+    )
+    results = []
+    trainer = None
+    kwargs = dict(trainer_kwargs or {})
+    eval_data = (samples.eval_seqs, samples.eval_labels, samples.eval_users)
+
+    while state.round < rounds:
+        rnd = state.round + 1
+        tree = ArrayTree.from_file(state.artifacts["tree"])
+        trainer = TDMTrainer(tree=tree, **kwargs)
+        model_ckpt = os.path.join(workdir, f"jtm_model_round{rnd}")
+        if state.stage == "trained" and path_exists(model_ckpt + ".npz"):
+            trainer.params = load_pytree(model_ckpt, trainer.params)
+        else:
+            t0 = time.perf_counter()
+            trainer.train(
+                samples.train_seqs,
+                samples.train_targets,
+                iterations=iterations_per_round,
+                progress_interval=max(1, iterations_per_round // 4),
+            )
+            logger.info(f"jtm round {rnd} train: {time.perf_counter() - t0:.1f}s")
+            save_pytree(model_ckpt, trainer.params, meta={"round": rnd})
+            state.stage = "trained"
+            state.artifacts[f"model_round{rnd}"] = model_ckpt
+            state.save(state_path)
+
+        if eval_every_round and len(samples.eval_users):
+            ev = trainer.evaluate(eval_data, samples.user_consumed)
+            logger.info(f"jtm round {rnd} eval: {ev}")
+            results.append(ev)
+
+        if rnd < rounds:
+            t0 = time.perf_counter()
+            learner = TreeLearner(
+                tree=trainer.tree,
+                params=trainer.params,
+                forward=trainer.forward,
+                train_seqs=samples.train_seqs,
+                train_targets=samples.train_targets,
+                gap=gap,
+                hierarchical=hierarchical,
+                min_level=min_level,
+            )
+            projection = learner.optimize()
+            new_tree = os.path.join(workdir, f"jtm_tree_round{rnd + 1}.bin")
+            write_projection_tree(trainer.tree, projection, new_tree)
+            logger.info(
+                f"jtm round {rnd} tree learning: {time.perf_counter() - t0:.1f}s"
+            )
+            state.artifacts["tree"] = new_tree
+        state.round = rnd
+        state.stage = "indexed"
+        state.save(state_path)
+    return trainer, results
+
+
+def run_otm_alternation(
+    workdir: str,
+    data_path: str,
+    rounds: int = 2,
+    epochs_per_round: int = 5,
+    seq_len: int = 10,
+    min_seq_len: int = 2,
+    split_ratio: float = 0.8,
+    label_num: int = 5,
+    leaf_init_mode: str = "random",
+    data_mode: str = "default",
+    gap: int = 2,
+    seed: int = 42,
+    trainer_kwargs: dict | None = None,
+):
+    """OTM loop: train (per-level pseudo-target steps) -> tree construction
+    (item->leaf re-assignment) -> rebuild dataset under the new mapping ->
+    retrain, with stage checkpoint/resume.
+
+    The dataset is rebuilt each round because sequences/labels live in
+    mapped-code space (otm LocalDataSet.scala:15-44 reloads the mapping the
+    same way).  Returns (final trainer, per-round last-epoch eval dicts).
+    """
+    from dismember_tpu.data.otm_dataset import (
+        build_otm_data,
+        load_mapping,
+        save_mapping,
+    )
+    from dismember_tpu.train.jtm import otm_tree_learner
+    from dismember_tpu.train.otm import OTMTrainer
+
+    if "://" not in workdir:
+        os.makedirs(workdir, exist_ok=True)
+    state_path = os.path.join(workdir, "otm_pipeline_state.json")
+    state = StageState.load(state_path) or StageState(
+        round=0, stage="init", artifacts={}
+    )
+    results = []
+    trainer = None
+    kwargs = dict(trainer_kwargs or {})
+
+    while state.round < rounds:
+        rnd = state.round + 1
+        mapping_path = state.artifacts.get("mapping")
+        mapping = (
+            load_mapping(mapping_path)
+            if mapping_path and path_exists(mapping_path)
+            else None
+        )
+        data = build_otm_data(
+            data_path, seq_len, min_seq_len, split_ratio,
+            leaf_init_mode=leaf_init_mode, label_num=label_num, seed=seed,
+            mapping=mapping, data_mode=data_mode,
+        )
+        trainer = OTMTrainer(data, **kwargs)
+        model_ckpt = os.path.join(workdir, f"otm_model_round{rnd}")
+        if state.stage == "trained" and path_exists(model_ckpt + ".npz"):
+            trainer.params = load_pytree(model_ckpt, trainer.params)
+            ev = trainer.evaluate()
+            results.append(
+                {"round": rnd, "recall": ev.recall, "ndcg": ev.ndcg,
+                 "precision": ev.precision, "loss": ev.loss}
+            )
+        else:
+            t0 = time.perf_counter()
+            logs = trainer.train(num_epochs=epochs_per_round)
+            logger.info(f"otm round {rnd} train: {time.perf_counter() - t0:.1f}s")
+            save_pytree(model_ckpt, trainer.params, meta={"round": rnd})
+            state.stage = "trained"
+            state.artifacts[f"model_round{rnd}"] = model_ckpt
+            state.save(state_path)
+            last = logs[-1]
+            results.append(
+                {"round": rnd, "recall": last["recall"], "ndcg": last["ndcg"],
+                 "precision": last["precision"], "loss": last["eval_loss"]}
+            )
+
+        if rnd < rounds:
+            t0 = time.perf_counter()
+            learner = otm_tree_learner(
+                trainer.params,
+                trainer.forward,
+                data.item_to_code,
+                data.train_seqs,
+                data.train_labels,
+                gap=gap,
+            )
+            projection = learner.optimize()
+            new_mapping = os.path.join(workdir, f"otm_mapping_round{rnd + 1}.txt")
+            save_mapping(new_mapping, projection)
+            logger.info(
+                f"otm round {rnd} tree construction: {time.perf_counter() - t0:.1f}s"
+            )
+            state.artifacts["mapping"] = new_mapping
+        state.round = rnd
+        state.stage = "indexed"
+        state.save(state_path)
+    return trainer, results

@@ -75,6 +75,12 @@ class TreeSampler:
     # static per-unit-position labels (1 for positives)
     unit_labels: np.ndarray  # [unit] float32
     oversample: int = 2
+    # extra constrained draws before relaxing, mirroring the reference's
+    # model.sample_tolerance (NegativeSampler.scala:19,120).  Exact (Gumbel
+    # top-k) levels never need it: weighted sampling there is exact without
+    # replacement, which strictly supersedes the reference's bounded
+    # categorical rejection loop.
+    tolerance: int = 20
 
     @classmethod
     def build(
@@ -84,6 +90,7 @@ class TreeSampler:
         start_level: int = 1,
         with_prob: bool = False,
         max_exact_level: int = 1 << 18,
+        tolerance: int = 20,
     ) -> "TreeSampler":
         if start_level < 1:
             raise ValueError(f"start sample level should be at least 1, got {start_level}")
@@ -120,14 +127,26 @@ class TreeSampler:
             level_exact=level_exact,
             node_exists=jnp.asarray(tree.node_exists),
             unit_labels=np.asarray(labels, dtype=np.float32),
+            tolerance=tolerance,
         )
 
     def _sample_rejection(self, key, pos, level, neg, node_exists=None):
-        """Oversampled uniform draws + validity/dup masking; [B, neg]."""
+        """Oversampled uniform draws + validity/dup masking; [B, neg].
+
+        Tolerance semantics (NegativeSampler.scala:116-144): the reference
+        tries ``neg + tolerance`` constrained draws (exists, != positive, no
+        duplicate), then falls back to draws constrained only by existence.
+        Vectorized equivalent: one candidate pool of ``2*neg + tolerance + 8``
+        draws ranked strict-valid first, then relaxed-valid (existence +
+        dedup, positive allowed — matching the reference's fallback, which
+        drops the != positive check); the first ``neg`` win.  A slot is
+        zero-weighted only if even relaxed draws ran out, which for a
+        leaf-sunk tree (level occupancy > 1/2) has negligible probability.
+        """
         if node_exists is None:
             node_exists = self.node_exists
         b = pos.shape[0]
-        m = self.oversample * neg + 8
+        m = self.oversample * neg + self.tolerance + 8
         lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
         cand = jax.random.randint(key, (b, m), lo, hi, dtype=jnp.int32)
         exists = node_exists[cand]
@@ -136,11 +155,15 @@ class TreeSampler:
         eq = cand[:, :, None] == cand[:, None, :]
         tri = jnp.tril(jnp.ones((m, m), bool), k=-1)
         dup = jnp.any(eq & tri[None], axis=-1)
-        ok = exists & not_pos & ~dup
-        # order: valid first (stable), take first `neg`
-        rank = jnp.where(ok, jnp.arange(m)[None, :], m + jnp.arange(m)[None, :])
+        ok_strict = exists & not_pos & ~dup
+        ok_relaxed = exists & ~dup
+        # order: strict first, then relaxed, each stable; take first `neg`
+        arange = jnp.arange(m)[None, :]
+        rank = jnp.where(
+            ok_strict, arange, jnp.where(ok_relaxed, m + arange, 2 * m + arange)
+        )
         order = jnp.argsort(rank, axis=1)[:, :neg]
-        picked_ok = jnp.take_along_axis(ok, order, axis=1)
+        picked_ok = jnp.take_along_axis(ok_relaxed, order, axis=1)
         picked = jnp.take_along_axis(cand, order, axis=1)
         return jnp.where(picked_ok, picked, -1), picked_ok.astype(jnp.float32)
 

@@ -72,6 +72,7 @@ class TDMTrainer:
     seq_len: int = 10
     layer_neg_counts: str = "0,1,2,3,4"
     sample_with_prob: bool = False
+    sample_tolerance: int = 20
     start_sample_level: int = 1
     topk: int = 10
     beam_size: int = 20
@@ -107,6 +108,7 @@ class TDMTrainer:
             self.layer_neg_counts,
             start_level=self.start_sample_level,
             with_prob=self.sample_with_prob,
+            tolerance=self.sample_tolerance,
         )
         if self.embed_dtype is not None:
             self.params["embedding"] = self.params["embedding"].astype(

@@ -49,7 +49,11 @@ def main() -> None:
     if args.out and jax.process_index() == 0:
         import numpy as np
 
-        flat = {"losses": np.asarray(result["losses"])}
+        flat = {
+            "losses": np.asarray(result["losses"]),
+            "beam_ids": result["beam_ids"],
+            "beam_scores": result["beam_scores"],
+        }
         leaves, _ = jax.tree_util.tree_flatten_with_path(result["params"])
         for path, leaf in leaves:
             flat["param:" + jax.tree_util.keystr(path)] = leaf

@@ -2,18 +2,22 @@
 
 Runs all four algorithms on data/example_data.csv with the configs/*.conf
 hyperparameters (TDM 2000 iters + cluster + retrain; JTM 1000 iters + tree
-learning + retrain; OTM 5 epochs; DR 5 epochs + coordinate descent + 1
-epoch), printing one JSON line per result row for BASELINE.md.
+learning + retrain; OTM 5 epochs + tree construction + retrain; DR 5 epochs
++ coordinate descent + 1 epoch), printing one JSON line per result row for
+BASELINE.md.
+
+TDM/JTM/OTM alternation all run through the stage-checkpointed pipeline
+drivers (dismember_tpu.train.pipeline), so a killed run resumes at the last
+completed stage; each invocation starts from a clean workdir by default.
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 from dismember_tpu.data.ingest import (
     read_csv,
@@ -21,10 +25,12 @@ from dismember_tpu.data.ingest import (
     user_interactions,
 )
 from dismember_tpu.data.tdm_dataset import generate_split_samples
-from dismember_tpu.index.arraytree import ArrayTree
-from dismember_tpu.index.cluster import cluster_tree_from_embeddings
 from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
-from dismember_tpu.train.tdm import TDMTrainer
+from dismember_tpu.train.pipeline import (
+    run_jtm_alternation,
+    run_otm_alternation,
+    run_tdm_alternation,
+)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CSV = os.path.join(ROOT, "data", "example_data.csv")
@@ -49,77 +55,83 @@ def eval_to_dict(ev):
     }
 
 
-def tdm_like(name, iterations, lr, do_cluster, do_jtm):
-    os.makedirs(OUT, exist_ok=True)
+def _workdir(name, resume):
+    wd = os.path.join(OUT, name)
+    if not resume:
+        shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd, exist_ok=True)
+    return wd
+
+
+def _samples_and_tree(wd):
     raw = read_csv(CSV)
     inter = user_interactions(raw)
     s = generate_split_samples(inter, 10, 2, 0.8)
     ids, cats = unique_items_with_category(raw)
     sid, codes = category_sorted_codes(ids, cats)
-    tree_path = os.path.join(OUT, f"{name}_tree.bin")
+    tree_path = os.path.join(wd, "tree_round1.bin")
     write_tree(tree_path, sid, codes, stat=s.stat)
-    eval_data = (s.eval_seqs, s.eval_labels, s.eval_users)
-
-    def train_round(tree_path, tag, seed):
-        tree = ArrayTree.from_file(tree_path)
-        tr = TDMTrainer(
-            tree=tree, model_type="din", embed_size=16, learning_rate=lr,
-            total_batch_size=8192, total_eval_batch_size=8192,
-            layer_neg_counts=NEG, topk=10, beam_size=20, seed=seed,
-        )
-        t0 = time.perf_counter()
-        tr.train(s.train_seqs, s.train_targets, iterations=iterations,
-                 progress_interval=iterations)
-        train_t = time.perf_counter() - t0
-        ev = tr.evaluate(eval_data, s.user_consumed)
-        report(f"{name}-{tag}", eval_to_dict(ev), train_t)
-        return tr
-
-    tr = train_round(tree_path, "round1", 7)
-    if do_cluster:
-        embed_path = os.path.join(OUT, f"{name}_embed.csv")
-        tr.export_embeddings(embed_path)
-        tree2_path = os.path.join(OUT, f"{name}_tree2.bin")
-        t0 = time.perf_counter()
-        cluster_tree_from_embeddings(embed_path, tree2_path, 10, "kmeans")
-        report(f"{name}-cluster", {}, time.perf_counter() - t0)
-        train_round(tree2_path, "round2", 8)
-    if do_jtm:
-        from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
-
-        t0 = time.perf_counter()
-        learner = TreeLearner(
-            tree=tr.tree, params=tr.params, forward=tr.forward,
-            train_seqs=s.train_seqs, train_targets=s.train_targets, gap=2,
-        )
-        proj = learner.optimize()
-        tree3_path = os.path.join(OUT, f"{name}_tree3.bin")
-        write_projection_tree(tr.tree, proj, tree3_path)
-        report(f"{name}-treelearn", {}, time.perf_counter() - t0)
-        train_round(tree3_path, "round2", 9)
+    return s, tree_path
 
 
-def otm_run():
-    from dismember_tpu.data.otm_dataset import build_otm_data
-    from dismember_tpu.train.otm import OTMTrainer
-
-    data = build_otm_data(CSV, 10, 2, 0.8, leaf_init_mode="random",
-                          label_num=5, seed=42)
-    tr = OTMTrainer(data, model_type="din", embed_size=16, learning_rate=3e-3,
-                    total_train_batch_size=8192, total_eval_batch_size=8192,
-                    beam_size=20, topk=10, target_mode="pseudo", seed=42)
+def tdm_run(resume=False):
+    wd = _workdir("tdm_pipe", resume)
+    s, tree_path = _samples_and_tree(wd)
     t0 = time.perf_counter()
-    logs = tr.train(num_epochs=5)
-    for log in logs:
+    _, results = run_tdm_alternation(
+        wd, s, tree_path, rounds=2, iterations_per_round=2000,
+        cluster_type="kmeans", cluster_iter=10,
+        trainer_kwargs=dict(
+            model_type="din", embed_size=16, learning_rate=1e-4,
+            total_batch_size=8192, total_eval_batch_size=8192,
+            layer_neg_counts=NEG, topk=10, beam_size=20, seed=7,
+        ),
+    )
+    for i, ev in enumerate(results, 1):
+        report(f"tdm-round{i}", eval_to_dict(ev), 0)
+    report("tdm-total", {}, time.perf_counter() - t0)
+
+
+def jtm_run(resume=False, iterations=1000, lr=1e-4, embed=16, rounds=2):
+    wd = _workdir("jtm_pipe", resume)
+    s, tree_path = _samples_and_tree(wd)
+    t0 = time.perf_counter()
+    _, results = run_jtm_alternation(
+        wd, s, tree_path, rounds=rounds, iterations_per_round=iterations,
+        gap=2,
+        trainer_kwargs=dict(
+            model_type="din", embed_size=embed, learning_rate=lr,
+            total_batch_size=8192, total_eval_batch_size=8192,
+            layer_neg_counts=NEG, topk=10, beam_size=20, seed=7,
+        ),
+    )
+    for i, ev in enumerate(results, 1):
+        report(f"jtm-round{i}", eval_to_dict(ev), 0)
+    report("jtm-total", {}, time.perf_counter() - t0)
+
+
+def otm_run(resume=False):
+    wd = _workdir("otm_pipe", resume)
+    t0 = time.perf_counter()
+    _, results = run_otm_alternation(
+        wd, CSV, rounds=2, epochs_per_round=5, label_num=5,
+        leaf_init_mode="random", seed=42,
+        trainer_kwargs=dict(
+            model_type="din", embed_size=16, learning_rate=3e-3,
+            total_train_batch_size=8192, total_eval_batch_size=8192,
+            beam_size=20, topk=10, target_mode="pseudo", seed=42,
+        ),
+    )
+    for r in results:
         report(
-            f"otm-epoch{log['epoch']}",
+            f"otm-round{r['round']}",
             {
-                "loss": round(log["eval_loss"], 4),
-                "precision": round(log["precision"], 6),
-                "recall": round(log["recall"], 6),
-                "ndcg": round(log["ndcg"], 6),
+                "loss": round(r["loss"], 4),
+                "precision": round(r["precision"], 6),
+                "recall": round(r["recall"], 6),
+                "ndcg": round(r["ndcg"], 6),
             },
-            log["time"],
+            0,
         )
     report("otm-total", {}, time.perf_counter() - t0)
 
@@ -162,11 +174,12 @@ def dr_run():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    resume = "--resume" in sys.argv
     if which in ("all", "tdm"):
-        tdm_like("tdm", 2000, 1e-4, do_cluster=True, do_jtm=False)
+        tdm_run(resume)
     if which in ("all", "jtm"):
-        tdm_like("jtm", 1000, 1e-4, do_cluster=False, do_jtm=True)
+        jtm_run(resume)
     if which in ("all", "dr"):
         dr_run()
     if which in ("all", "otm"):
-        otm_run()
+        otm_run(resume)

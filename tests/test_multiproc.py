@@ -85,6 +85,12 @@ def test_two_process_matches_single_process(tmp_path):
         got["losses"], np.asarray(ref["losses"]), rtol=1e-6, atol=1e-7
     )
 
+    # sharded serving parity: identical top items + scores across layouts
+    np.testing.assert_array_equal(got["beam_ids"], np.asarray(ref["beam_ids"]))
+    np.testing.assert_allclose(
+        got["beam_scores"], np.asarray(ref["beam_scores"]), rtol=1e-6, atol=1e-7
+    )
+
     leaves, _ = jax.tree_util.tree_flatten_with_path(ref["params"])
     compared = 0
     for path, leaf in leaves:

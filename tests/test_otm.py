@@ -187,3 +187,26 @@ def test_otm_f64_precision_mode(tiny_otm):
     assert tr64.params["embedding"].dtype == jnp.float64
     # the x64 scope must not leak into the rest of the process
     assert jnp.asarray(np.zeros(2)).dtype == jnp.float32
+
+
+def test_one_user_sample_keeps_full_labels(small_csv):
+    """Variable-length target lists are kept in full (reference
+    LocalDataSet.generateOneSamplePerUser keeps every future item as a
+    label), and training pads per batch instead of truncating."""
+    d = build_otm_data(
+        small_csv, seq_len=10, min_seq_len=2, split_ratio=0.8,
+        leaf_init_mode="random", label_num=3, seed=7,
+        data_mode="one_user_sample",
+    )
+    counts = (d.train_labels >= 0).sum(axis=1)
+    assert d.train_labels.shape[1] == counts.max()
+    assert counts.max() > 3  # some user has more than label_num future items
+    assert d.label_num == 3
+
+    tr = OTMTrainer(
+        d, embed_size=8, beam_size=4, total_train_batch_size=256,
+        total_eval_batch_size=256, topk=5, seed=0,
+    )
+    assert tr.label_num == 3
+    logs = tr.train(num_epochs=1)
+    assert np.isfinite(logs[-1]["level_losses"]).all()

@@ -195,3 +195,71 @@ def test_multihost_single_process():
     for a, b in zip(arrs, out):
         np.testing.assert_array_equal(a, b)
     multihost.assert_same_across_hosts(np.arange(3))  # no-op single process
+
+
+def test_jtm_alternation_with_resume(samples_tree, tmp_path):
+    from dismember_tpu.train.pipeline import run_jtm_alternation
+
+    samples, tree_path = samples_tree
+    wd = str(tmp_path / "jtm_alt")
+    kwargs = dict(
+        model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=1024, layer_neg_counts=NEG, topk=5, beam_size=10,
+    )
+    trainer, _ = run_jtm_alternation(
+        wd, samples, tree_path, rounds=2, iterations_per_round=20,
+        gap=2, trainer_kwargs=kwargs, eval_every_round=False,
+    )
+    state = StageState.load(os.path.join(wd, "jtm_pipeline_state.json"))
+    assert state.round == 2
+    assert os.path.exists(os.path.join(wd, "jtm_model_round2.npz"))
+    assert os.path.exists(os.path.join(wd, "jtm_tree_round2.bin"))
+    # the learned tree is a permutation of the same items
+    from dismember_tpu.index.arraytree import ArrayTree
+
+    t2 = ArrayTree.from_file(os.path.join(wd, "jtm_tree_round2.bin"))
+    assert set(t2.item_ids.tolist()) == set(trainer.tree.item_ids.tolist())
+
+    # resume continues to round 3 without retraining rounds 1-2
+    trainer2, _ = run_jtm_alternation(
+        wd, samples, tree_path, rounds=3, iterations_per_round=20,
+        gap=2, trainer_kwargs=kwargs, eval_every_round=False,
+    )
+    state = StageState.load(os.path.join(wd, "jtm_pipeline_state.json"))
+    assert state.round == 3
+    assert len(trainer2.recommend(samples.eval_seqs[0], topk=5)) == 5
+
+
+def test_otm_alternation_with_resume(small_csv, tmp_path):
+    from dismember_tpu.train.pipeline import run_otm_alternation
+
+    wd = str(tmp_path / "otm_alt")
+    kwargs = dict(
+        embed_size=8, beam_size=8, topk=5, total_train_batch_size=1024,
+        total_eval_batch_size=512, seed=1,
+    )
+    trainer, results = run_otm_alternation(
+        wd, small_csv, rounds=2, epochs_per_round=1, label_num=3,
+        trainer_kwargs=kwargs,
+    )
+    state = StageState.load(os.path.join(wd, "otm_pipeline_state.json"))
+    assert state.round == 2
+    assert len(results) == 2
+    assert os.path.exists(os.path.join(wd, "otm_model_round2.npz"))
+    assert os.path.exists(os.path.join(wd, "otm_mapping_round2.txt"))
+    # round-2 mapping is a total re-assignment of the same items
+    from dismember_tpu.data.otm_dataset import load_mapping
+
+    m2, _ = load_mapping(os.path.join(wd, "otm_mapping_round2.txt"))
+    assert set(m2) == set(trainer.data.item_to_code)
+    assert len(set(m2.values())) == len(m2)
+
+    # resume to round 3
+    trainer2, results2 = run_otm_alternation(
+        wd, small_csv, rounds=3, epochs_per_round=1, label_num=3,
+        trainer_kwargs=kwargs,
+    )
+    state = StageState.load(os.path.join(wd, "otm_pipeline_state.json"))
+    assert state.round == 3
+    # only the newly-run round reports results (rounds 1-2 were skipped)
+    assert len(results2) == 1 and results2[0]["round"] == 3

@@ -1,6 +1,7 @@
 """Negative sampler tests: layout, positives, exclusion, without-replacement."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -114,3 +115,63 @@ def test_rejection_sampler_fill_rate(tree):
     target_codes = np.asarray(tree.item_codes[:256])
     _codes, _labels, weights = jax.device_get(sampler.sample(key, target_codes))
     assert weights.mean() > 0.9
+
+
+def test_rejection_sampler_million_leaf_level():
+    """Exactness/weight accounting at a 2^20-leaf bottom level (the regime
+    where the rejection path actually engages; NegativeSampler.scala:116-158
+    tolerance semantics: constrained draws first, existence-only fallback)."""
+    import types
+
+    level = 20
+    lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+    rng = np.random.default_rng(0)
+    n_items = 800_000  # occupancy ~0.76 — denser than any leaf-sunk tree's 0.5 min
+    bottom = np.sort(rng.choice(np.arange(lo, hi), size=n_items, replace=False))
+    node_exists = np.zeros(hi, dtype=bool)
+    node_exists[bottom] = True
+
+    sampler = types.SimpleNamespace(
+        oversample=2, tolerance=20, node_exists=jnp.asarray(node_exists)
+    )
+    neg = 200
+    pos = jnp.asarray(bottom[rng.integers(0, n_items, size=64)].astype(np.int32))
+    codes, weights = jax.device_get(
+        TreeSampler._sample_rejection(sampler, jax.random.PRNGKey(1), pos, level, neg)
+    )
+    assert codes.shape == (64, neg)
+    # dense level: every slot fills with weight 1
+    np.testing.assert_array_equal(weights, 1.0)
+    for i in range(64):
+        row = codes[i]
+        assert ((row >= lo) & (row < hi)).all()
+        assert node_exists[row].all()
+        assert len(np.unique(row)) == neg  # no duplicates
+        assert int(pos[i]) not in row  # strict draws sufficed
+
+
+def test_rejection_sampler_sparse_level_zero_weights():
+    """When even relaxed draws cannot fill (pathologically sparse level),
+    unfilled slots carry weight 0 and code -1 — loss-masked, not poisoned."""
+    import types
+
+    level = 20
+    lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
+    rng = np.random.default_rng(1)
+    bottom = np.sort(rng.choice(np.arange(lo, hi), size=500, replace=False))
+    node_exists = np.zeros(hi, dtype=bool)
+    node_exists[bottom] = True
+
+    sampler = types.SimpleNamespace(
+        oversample=2, tolerance=20, node_exists=jnp.asarray(node_exists)
+    )
+    neg = 50
+    pos = jnp.asarray(bottom[:8].astype(np.int32))
+    codes, weights = jax.device_get(
+        TreeSampler._sample_rejection(sampler, jax.random.PRNGKey(2), pos, level, neg)
+    )
+    # occupancy 500/2^20: essentially no draw hits an existing node
+    assert weights.mean() < 0.5
+    assert (codes[weights == 0] == -1).all()
+    filled = codes[weights == 1]
+    assert node_exists[filled].all() if len(filled) else True
