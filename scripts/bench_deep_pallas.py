@@ -46,6 +46,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--embed", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tile-b", type=int, default=128)
     ap.add_argument("--profile", default="", help="trace dir for jax.profiler")
     args = ap.parse_args()
 
@@ -82,7 +83,7 @@ def main() -> None:
     # 2) XLA grouped forward, no hoisting
     bench_beam("xla_plain", din.forward, tree, params, seq_codes, iters=args.iters)
     # 3) Pallas fused scorer (no hoisting; kernel refuses ctx shape)
-    pallas_fwd = make_din_pallas_forward(tile_b=256)
+    pallas_fwd = make_din_pallas_forward(tile_b=args.tile_b)
     q_pallas = bench_beam(
         "pallas_fused", pallas_fwd, tree, params, seq_codes, iters=args.iters
     )
