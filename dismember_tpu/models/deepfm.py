@@ -91,10 +91,14 @@ def precompute_seq(params: Params, seqs: jnp.ndarray):
 
 
 def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
+    item_e = embed_lookup(params["embedding"], items)  # [B, U, E]
+    return apply_from_emb(params, item_e, ctx)
+
+
+def apply_from_emb(params: Params, item_e: jnp.ndarray, ctx) -> jnp.ndarray:
+    """Score candidates from materialized embeddings (packed beam path)."""
     seq_sum, seq_sq, seq_dnn = ctx
-    table = params["embedding"]
-    e = table.shape[1]
-    item_e = embed_lookup(table, items)  # [B, U, E]
+    e = item_e.shape[-1]
     total_sum = item_e + seq_sum[:, None, :]
     sum_square = jnp.sum(total_sum * total_sum, axis=-1)
     square_sum = jnp.sum(item_e * item_e, axis=-1) + seq_sq[:, None]

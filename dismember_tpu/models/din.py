@@ -99,10 +99,21 @@ def precompute_seq(params: Params, seqs: jnp.ndarray):
 
 def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
     """forward() with the sequence side precomputed by :func:`precompute_seq`."""
+    item_e = embed_lookup(params["embedding"], items)
+    return apply_from_emb(params, item_e, ctx)
+
+
+def apply_from_emb(params: Params, item_e: jnp.ndarray, ctx) -> jnp.ndarray:
+    """Score candidates whose embeddings are already materialized.
+
+    The packed-pair beam path (retrieval/packed_beam.py) gathers candidate
+    embeddings out of the pair table itself, so the scorer must accept
+    [B, U, E] embeddings instead of codes.  Identical math to apply_with_ctx
+    for any candidate whose embedding matches the table row.
+    """
     seq_e, pad = ctx
     table = params["embedding"]
     embed_size = table.shape[1]
-    item_e = embed_lookup(table, items)
     scale = 1.0 / jnp.sqrt(jnp.asarray(embed_size, table.dtype))
     scores = jnp.einsum("bue,ble->bul", item_e, seq_e) * scale
     scores = jnp.where(pad, MASK_VALUE, scores)

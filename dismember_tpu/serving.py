@@ -18,22 +18,30 @@ from dismember_tpu.core.checkpoint import load_meta, load_pytree
 
 class TDMServing:
     def __init__(self, params, forward, tree, precompute=None, apply=None,
+                 apply_emb=None, packed: bool | None = None,
                  topk: int = 10, candidate_num: int = 20):
         self.params = params
         self.forward = forward
         self.tree = tree
         self.precompute = precompute
         self.apply = apply
+        self.apply_emb = apply_emb
+        # packed pair-table beam (retrieval/packed_beam.py): ~4x serving
+        # throughput at deep catalogs.  None = auto (on when the scorer
+        # supports it and the tree is deep enough to matter); params are
+        # frozen at serving time so the pair table is built once.
+        self.packed = packed
         self.topk = topk
         self.candidate_num = candidate_num
         self._beam_fns: dict[int, object] = {}
+        self._pair_table = None
 
     @classmethod
     def load(cls, model_path: str, tree_path: str, **kwargs) -> "TDMServing":
         import jax
 
         from dismember_tpu.index.arraytree import ArrayTree
-        from dismember_tpu.train.tdm import build_model, serving_fns
+        from dismember_tpu.train.tdm import build_model, packed_fns, serving_fns
 
         tree = ArrayTree.from_file(tree_path)
         meta = load_meta(model_path)
@@ -43,7 +51,9 @@ class TDMServing:
         )
         params = load_pytree(model_path, params_like)
         pre, app = serving_fns(meta["model"])
-        return cls(params, forward, tree, precompute=pre, apply=app, **kwargs)
+        _, app_emb = packed_fns(meta["model"])
+        return cls(params, forward, tree, precompute=pre, apply=app,
+                   apply_emb=app_emb, **kwargs)
 
     # ------------------------------------------------------------------
     def predict(self, sequence: np.ndarray, items: np.ndarray) -> np.ndarray:
@@ -57,14 +67,49 @@ class TDMServing:
         )
         return np.asarray(1.0 / (1.0 + np.exp(-np.asarray(logits[0]))))
 
+    def _use_packed(self, cn: int) -> bool:
+        if self.apply_emb is None or self.precompute is None:
+            return False
+        if self.packed is not None:
+            return self.packed
+        # auto: the packed loop wins across catalog sizes but needs at least
+        # one level below the start level; small trees stay on the classic
+        # loop to avoid building a pair table for toy catalogs
+        from dismember_tpu.retrieval.tree_beam import make_config
+
+        cfg = make_config(self.tree, cn)
+        return self.tree.max_level >= 8 and cfg.max_level - cfg.start_level >= 1
+
     def _beam_fn(self, cn: int):
         if cn not in self._beam_fns:
-            from dismember_tpu.retrieval.tree_beam import make_beam_fn
+            if self._use_packed(cn):
+                from dismember_tpu.retrieval.packed_beam import (
+                    PackedTree,
+                    build_pair_table,
+                    make_packed_beam_fn,
+                )
+                from dismember_tpu.retrieval.tree_beam import make_config
 
-            self._beam_fns[cn] = make_beam_fn(
-                self.forward, self.tree, cn,
-                precompute=self.precompute, apply=self.apply,
-            )
+                if self._pair_table is None:
+                    self._pair_table = build_pair_table(
+                        self.params["embedding"], self.tree.node_exists,
+                        self.tree.node_id, self.tree.total_codes,
+                    )
+                packed = PackedTree(
+                    pair_table=self._pair_table,
+                    embed_size=int(self.params["embedding"].shape[1]),
+                    cfg=make_config(self.tree, cn),
+                )
+                self._beam_fns[cn] = make_packed_beam_fn(
+                    packed, self.precompute, self.apply_emb
+                )
+            else:
+                from dismember_tpu.retrieval.tree_beam import make_beam_fn
+
+                self._beam_fns[cn] = make_beam_fn(
+                    self.forward, self.tree, cn,
+                    precompute=self.precompute, apply=self.apply,
+                )
         return self._beam_fns[cn]
 
     def recommend(

@@ -61,6 +61,13 @@ def serving_fns(model_type: str):
     return mod.precompute_seq, mod.apply_with_ctx
 
 
+def packed_fns(model_type: str):
+    """(precompute, apply_from_emb) pair for the packed pair-table beam loop
+    (retrieval/packed_beam.py), which feeds the scorer gathered embeddings."""
+    mod = {"din": din, "deepfm": deepfm}[model_type]
+    return mod.precompute_seq, mod.apply_from_emb
+
+
 @dataclasses.dataclass
 class TDMTrainer:
     tree: ArrayTree

@@ -1,0 +1,87 @@
+"""Deep-catalog shootout: classic beam loop vs packed pair-table loop.
+
+Device time comes from xplane traces (host wall-clock through the tunnel is
+unreliable — see scripts/devtime.py).  Also checks result parity at depth.
+
+Usage: python scripts/bench_packed_beam.py [--items 1000000] [--batch 4096]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from devtime import device_time_ms, top_ops
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--embed", type=int, default=16)
+    ap.add_argument("--beam", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ops", action="store_true", help="print top device ops")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+    from dismember_tpu.models import din
+    from dismember_tpu.retrieval.packed_beam import (
+        make_packed_beam_fn,
+        make_packed_tree,
+    )
+    from dismember_tpu.retrieval.tree_beam import make_beam_fn
+
+    ids = np.arange(1, args.items + 1)
+    sorted_ids, codes = category_sorted_codes(ids, ids % 97)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.bin")
+        write_tree(p, sorted_ids, codes)
+        tree = ArrayTree.from_file(p)
+    print(json.dumps({"items": args.items, "levels": tree.max_level}), flush=True)
+
+    num_index = (1 << (tree.max_level + 1)) - 1
+    params = din.init_params(jax.random.PRNGKey(0), num_index, args.embed)
+    rng = np.random.default_rng(0)
+    seq_codes = jnp.asarray(tree.ids_to_codes(
+        rng.integers(1, args.items + 1, size=(args.batch, 10))
+    ))
+
+    classic = make_beam_fn(
+        din.forward, tree, beam=args.beam,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    packed = make_packed_tree(tree, params["embedding"], beam=args.beam)
+    packed_fn = make_packed_beam_fn(packed, din.precompute_seq, din.apply_from_emb)
+
+    # parity at depth
+    ids_c, sc_c = jax.device_get(classic(params, seq_codes[:64]))
+    ids_p, sc_p = jax.device_get(packed_fn(params, seq_codes[:64]))
+    alive = ids_c >= 0
+    parity = bool((ids_p == ids_c).all()) and bool(
+        np.allclose(sc_p[alive], sc_c[alive], rtol=1e-5)
+    )
+    print(json.dumps({"parity_64rows": parity}), flush=True)
+
+    for name, fn in [("classic", classic), ("packed", packed_fn)]:
+        ms = device_time_ms(lambda: fn(params, seq_codes), iters=args.iters)
+        qps = args.batch / (ms / 1e3) if ms > 0 else 0.0
+        print(json.dumps({"variant": name, "device_ms_per_batch": round(ms, 2),
+                          "qps": round(qps)}), flush=True)
+        if args.ops:
+            for op, t in top_ops(lambda: fn(params, seq_codes), iters=args.iters):
+                print(json.dumps({"op": op, "ms": t}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Packed pair-table beam search: parity with the classic loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+from dismember_tpu.models import deepfm, din
+from dismember_tpu.retrieval.packed_beam import (
+    build_pair_table,
+    make_packed_beam_fn,
+    make_packed_tree,
+)
+from dismember_tpu.retrieval.tree_beam import make_beam_fn
+
+
+@pytest.fixture(scope="module", params=[16, 47])
+def tree(tmp_path_factory, request):
+    # 47 items gives an incomplete bottom level (dead slots to mask)
+    n = request.param
+    ids = np.arange(1, n + 1)
+    cats = np.repeat(np.arange((n + 9) // 10), 10)[:n]
+    sorted_ids, codes = category_sorted_codes(ids, cats)
+    path = str(tmp_path_factory.mktemp("pb") / f"tree{n}.bin")
+    write_tree(path, sorted_ids, codes)
+    return ArrayTree.from_file(path)
+
+
+def _seqs(tree, batch=5, seed=0):
+    rng = np.random.default_rng(seed)
+    raw = rng.choice(tree.item_ids, size=(batch, 6))
+    raw[0, 3:] = 0  # padding rows
+    return jnp.asarray(tree.ids_to_codes(raw))
+
+
+def test_pair_table_contents(tree):
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(0), num_index, 8)
+    table = np.asarray(build_pair_table(
+        params["embedding"], tree.node_exists, tree.node_id, tree.total_codes
+    ))
+    emb = np.asarray(params["embedding"])
+    n_pairs = (tree.total_codes - 1) // 2
+    assert table.shape[1] == 128  # 2*8+6 = 22 used lanes, padded to 128
+    for c in [0, 1, 2, n_pairs - 1]:
+        np.testing.assert_array_equal(table[c, :8], emb[2 * c + 1])
+        np.testing.assert_array_equal(table[c, 8:16], emb[2 * c + 2])
+        assert table[c, 16] == float(tree.node_exists[2 * c + 1])
+        assert table[c, 17] == float(tree.node_exists[2 * c + 2])
+        hi_l, lo_l, hi_r, lo_r = table[c, 18:22]
+        got_ids = np.array([hi_l * 4096 + lo_l, hi_r * 4096 + lo_r], np.int64)
+        np.testing.assert_array_equal(
+            got_ids, tree.node_id[[2 * c + 1, 2 * c + 2]]
+        )
+        np.testing.assert_array_equal(table[c, 22:], 0.0)
+
+
+@pytest.mark.parametrize("beam", [1, 4, 8])
+def test_packed_matches_classic_din(tree, beam):
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(2), num_index, 8)
+    classic = make_beam_fn(
+        din.forward, tree, beam=beam,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    packed = make_packed_tree(tree, params["embedding"], beam=beam)
+    packed_fn = make_packed_beam_fn(
+        packed, din.precompute_seq, din.apply_from_emb
+    )
+    seqs = _seqs(tree)
+    ids_c, sc_c = jax.device_get(classic(params, seqs))
+    ids_p, sc_p = jax.device_get(packed_fn(params, seqs))
+    np.testing.assert_array_equal(ids_p, ids_c)
+    alive = ids_c >= 0
+    np.testing.assert_allclose(sc_p[alive], sc_c[alive], rtol=1e-6)
+
+
+def test_packed_matches_classic_deepfm(tree):
+    num_index = tree.total_codes
+    params = deepfm.init_params(jax.random.PRNGKey(3), num_index, 8, seq_len=6)
+    classic = make_beam_fn(
+        deepfm.forward, tree, beam=4,
+        precompute=deepfm.precompute_seq, apply=deepfm.apply_with_ctx,
+    )
+    packed = make_packed_tree(tree, params["embedding"], beam=4)
+    packed_fn = make_packed_beam_fn(
+        packed, deepfm.precompute_seq, deepfm.apply_from_emb
+    )
+    seqs = _seqs(tree, seed=7)
+    ids_c, sc_c = jax.device_get(classic(params, seqs))
+    ids_p, sc_p = jax.device_get(packed_fn(params, seqs))
+    np.testing.assert_array_equal(ids_p, ids_c)
+    alive = ids_c >= 0
+    np.testing.assert_allclose(sc_p[alive], sc_c[alive], rtol=1e-6)
+
+
+def test_serving_facade_packed_path(tree):
+    """TDMServing with packed=True serves identical recommendations."""
+    from dismember_tpu.serving import TDMServing
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(5), num_index, 8)
+    kw = dict(
+        params=params, forward=din.forward, tree=tree,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+        apply_emb=din.apply_from_emb, topk=5, candidate_num=4,
+    )
+    classic = TDMServing(packed=False, **kw)
+    packed = TDMServing(packed=True, **kw)
+    seqs = np.asarray(
+        np.random.default_rng(1).choice(tree.item_ids, size=(3, 6)))
+    out_c = classic.recommend_batch(seqs)
+    out_p = packed.recommend_batch(seqs)
+    for a, b in zip(out_c, out_p):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_packed_bf16_table_upcasts(tree):
+    """bf16 embedding storage: pair table is built f32 from the bf16 rows,
+    matching what embed_lookup feeds the classic scorer."""
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(4), num_index, 8)
+    params_bf16 = dict(params, embedding=params["embedding"].astype(jnp.bfloat16))
+    classic = make_beam_fn(
+        din.forward, tree, beam=4,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    packed = make_packed_tree(tree, params_bf16["embedding"], beam=4)
+    packed_fn = make_packed_beam_fn(
+        packed, din.precompute_seq, din.apply_from_emb
+    )
+    seqs = _seqs(tree, seed=9)
+    ids_c, _ = jax.device_get(classic(params_bf16, seqs))
+    ids_p, _ = jax.device_get(packed_fn(params_bf16, seqs))
+    np.testing.assert_array_equal(ids_p, ids_c)
