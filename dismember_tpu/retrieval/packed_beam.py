@@ -199,3 +199,281 @@ def make_packed_beam_fn(
         )
 
     return lambda params, seq_codes: run(params, seq_codes, packed.pair_table)
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 subtree rows: one gather serves TWO beam levels.
+#
+# subtree_table[c] packs children AND grandchildren of internal code c:
+#
+#   [ emb(2c+1) | emb(2c+2)                      (children,      2E lanes)
+#   | emb(4c+3) | emb(4c+4) | emb(4c+5) | emb(4c+6)  (grandkids, 4E lanes)
+#   | exists x6 | gc id hi/lo x4 | 0-pad ]       (14 lanes)
+#
+# For E=16 that is 110 used lanes -> one 128-lane row; one gather then
+# carries enough to run two exact beam levels: children are scored and
+# pruned as usual, and the surviving children's own children are SELECTED
+# from the prefetched grandchild bank by a one-hot contraction instead of a
+# second gather.  Exact same frontiers/scores as the pair loop — pruning
+# still happens at every level — at half the gather descriptors.
+# Grandchild ids (hi/lo floats) cover the leaf readout; children ids are
+# never needed because the loop always ends on a grandchild level.
+#
+# Measured (v5e, 1M items, batch 4096, beam 20): 19.8ms vs 19.3ms for the
+# pair loop — halving the gathers buys ~2.4ms but the grandchild one-hot
+# selection apparatus gives it back.  Exact id/score parity with the pair
+# loop.  Kept as an experimental variant; the pair loop stays the default.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SubtreeTree:
+    """Device-side stride-2 subtree table + beam config."""
+
+    subtree_table: jnp.ndarray  # [n_rows, row_width] float32
+    embed_size: int
+    cfg: TreeBeamConfig
+
+
+def build_subtree_table(
+    embedding: jnp.ndarray,
+    node_exists: np.ndarray,
+    node_id: np.ndarray,
+    total_codes: int,
+) -> jnp.ndarray:
+    """Rows for every code with grandchildren: n_rows = (total_codes-3)//4."""
+    n_rows = (total_codes - 3) // 4
+    e = embedding.shape[1]
+    used = 6 * e + 14
+    row_width = ((used + 127) // 128) * 128
+
+    ex = np.asarray(node_exists, np.float32)
+    child_ex = ex[1 : 2 * n_rows + 1].reshape(n_rows, 2)
+    gc_ex = ex[3 : 4 * n_rows + 3].reshape(n_rows, 4)
+    hi, lo = _encode_ids(np.asarray(node_id[3 : 4 * n_rows + 3], np.int64))
+    gc_ids = np.stack(
+        [hi[0::4], lo[0::4], hi[1::4], lo[1::4],
+         hi[2::4], lo[2::4], hi[3::4], lo[3::4]], axis=1
+    )  # [n_rows, 8]
+
+    @jax.jit
+    def build(emb, cex, gex, gid):
+        child = emb[1 : 2 * n_rows + 1].astype(jnp.float32).reshape(n_rows, 2 * e)
+        gc = emb[3 : 4 * n_rows + 3].astype(jnp.float32).reshape(n_rows, 4 * e)
+        pad = jnp.zeros((n_rows, row_width - used), jnp.float32)
+        return jnp.concatenate([child, gc, cex, gex, gid, pad], axis=1)
+
+    return build(embedding, jnp.asarray(child_ex), jnp.asarray(gc_ex),
+                 jnp.asarray(gc_ids))
+
+
+def make_subtree_tree(tree: ArrayTree, embedding: jnp.ndarray, beam: int) -> SubtreeTree:
+    cfg = make_config(tree, beam)
+    n_levels = cfg.max_level - cfg.start_level
+    if n_levels < 2:
+        raise ValueError("stride-2 beam needs >= 2 levels below the start")
+    table = build_subtree_table(
+        embedding, tree.node_exists, tree.node_id, tree.total_codes
+    )
+    return SubtreeTree(
+        subtree_table=table, embed_size=int(embedding.shape[1]), cfg=cfg,
+    )
+
+
+def beam_search_stride2(
+    apply_from_emb: Callable[..., jnp.ndarray],
+    params,
+    seq_codes: jnp.ndarray,
+    subtree_table: jnp.ndarray,
+    embed_size: int,
+    cfg: TreeBeamConfig,
+    precompute: Callable,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact beam search at one gather per two levels."""
+    b = seq_codes.shape[0]
+    beam = cfg.beam
+    width = 2 * beam
+    e = embed_size
+    n_rows = subtree_table.shape[0]
+
+    ctx = precompute(params, seq_codes)
+
+    frontier = jnp.broadcast_to(
+        jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
+    )
+    valid = frontier >= 0
+    scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
+    ids = jnp.full((b, width), -1, jnp.int32)
+
+    n_levels = cfg.max_level - cfg.start_level
+    if n_levels % 2 == 1:
+        # one lead-in level so the stride-2 scan lands on leaves; the
+        # subtree row's children half doubles as a pair row (lead-in codes
+        # sit at least 3 levels above the leaves, so their rows exist)
+
+        def pair_body(frontier, scores):
+            top_scores, top_idx = jax.lax.top_k(scores, beam)
+            top_codes = onehot_select(frontier, top_idx)
+            top_alive = top_scores > _NEG_INF / 2
+            rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)]
+            emb = rows[..., : 2 * e].reshape(b, width, e)
+            exists = rows[..., 6 * e : 6 * e + 2].reshape(b, width) > 0
+            alive = exists & jnp.repeat(top_alive, 2, axis=1)
+            children = jnp.stack(
+                [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
+            ).reshape(b, width)
+            logits = apply_from_emb(params, emb, ctx)
+            return children, jnp.where(alive, logits, _NEG_INF)
+
+        frontier, scores = pair_body(frontier, scores)
+
+    def stride_body(carry, _):
+        frontier, scores, _ids = carry
+        top_scores, top_idx = jax.lax.top_k(scores, beam)  # [B, beam]
+        top_codes = onehot_select(frontier, top_idx)
+        top_alive = top_scores > _NEG_INF / 2
+        rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)]  # [B,bm,RW]
+
+        # ---- level A: score + prune the 2*beam children -------------------
+        c_emb = rows[..., : 2 * e].reshape(b, width, e)
+        c_exists = rows[..., 6 * e : 6 * e + 2].reshape(b, width) > 0
+        c_alive = c_exists & jnp.repeat(top_alive, 2, axis=1)
+        children = jnp.stack(
+            [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
+        ).reshape(b, width)
+        c_logits = apply_from_emb(params, c_emb, ctx)
+        c_scores = jnp.where(c_alive, c_logits, _NEG_INF)
+
+        # ---- level B: select surviving children's kids from the bank ------
+        topb_scores, topb_idx = jax.lax.top_k(c_scores, beam)  # over width
+        topb_codes = onehot_select(children, topb_idx)
+        topb_alive = topb_scores > _NEG_INF / 2
+        # grandchild bank rearranged per child: [B, width, 2, (E, ex, hi/lo)]
+        gc_emb = rows[..., 2 * e : 6 * e].reshape(b, width, 2, e)
+        gc_ex = rows[..., 6 * e + 2 : 6 * e + 6].reshape(b, width, 2)
+        gc_id = rows[..., 6 * e + 6 : 6 * e + 14].reshape(b, width, 2, 2)
+        onehot = (
+            topb_idx[..., :, None] == jnp.arange(width, dtype=topb_idx.dtype)
+        ).astype(jnp.float32)  # [B, beam, width]
+        sel_emb = jnp.einsum("bkj,bjte->bkte", onehot, gc_emb).reshape(
+            b, width, e
+        )
+        sel_ex = jnp.einsum("bkj,bjt->bkt", onehot, gc_ex).reshape(b, width) > 0
+        # id lanes must be selected EXACTLY: a float one-hot einsum rides the
+        # MXU at default precision, which truncates f32 inputs to bf16 and
+        # silently quantizes id lanes (12-bit lo values need f32 mantissa).
+        # Decode to int32 first (elementwise, exact) and contract in int32.
+        gc_int = (
+            gc_id[..., 0].astype(jnp.int32) * 4096
+            + gc_id[..., 1].astype(jnp.int32)
+        )  # [B, width, 2]
+        sel_id = jnp.stack(
+            [
+                onehot_select(gc_int[..., 0], topb_idx),
+                onehot_select(gc_int[..., 1], topb_idx),
+            ],
+            axis=-1,
+        ).reshape(b, width)  # int32 item ids, frontier order
+        gchildren = jnp.stack(
+            [2 * topb_codes + 1, 2 * topb_codes + 2], axis=-1
+        ).reshape(b, width)
+        g_alive = sel_ex & jnp.repeat(topb_alive, 2, axis=1)
+        g_logits = apply_from_emb(params, sel_emb, ctx)
+        g_scores = jnp.where(g_alive, g_logits, _NEG_INF)
+        return (gchildren, g_scores, sel_id), None
+
+    (frontier, scores, ids), _ = jax.lax.scan(
+        stride_body, (frontier, scores, ids), None, length=n_levels // 2
+    )
+
+    leaf_ok = scores > _NEG_INF / 2
+    return jnp.where(leaf_ok, ids, -1), scores
+
+
+def make_stride2_beam_fn(
+    packed: SubtreeTree,
+    precompute: Callable,
+    apply_from_emb: Callable,
+) -> Callable:
+    cfg = packed.cfg
+    e = packed.embed_size
+
+    @jax.jit
+    def run(params, seq_codes, table):
+        return beam_search_stride2(
+            apply_from_emb, params, seq_codes, table, e, cfg, precompute
+        )
+
+    return lambda params, seq_codes: run(
+        params, seq_codes, packed.subtree_table
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused level body: same pair-table loop, but everything after the
+# row gather (lane unpack, DIN scorer, exists mask, id passthrough) runs in
+# one VMEM-resident kernel (ops/packed_level_kernel.py).  DIN only.
+# RETIRED as a serving path: measured 24.2ms vs 19.3ms for the XLA packed
+# loop at 1M items (see the kernel docstring for the full verdict); kept as
+# a tested experiment.
+# ---------------------------------------------------------------------------
+
+
+def make_packed_beam_fn_pallas(
+    packed: PackedTree,
+    tile_b: int = 64,
+    interpret: bool = False,
+) -> Callable:
+    """DIN-scorer packed beam with the Pallas fused level body."""
+    from dismember_tpu.models.embedding import embed_lookup
+    from dismember_tpu.ops.packed_level_kernel import packed_level_pallas
+
+    cfg = packed.cfg
+    e = packed.embed_size
+    beam = cfg.beam
+    width = 2 * beam
+    n_levels = cfg.max_level - cfg.start_level
+
+    @jax.jit
+    def run(params, seq_codes, table):
+        b = seq_codes.shape[0]
+        n_pairs = table.shape[0]
+        seq_e = embed_lookup(params["embedding"], seq_codes)
+        pad = (seq_codes < 0).astype(jnp.float32)
+
+        frontier = jnp.broadcast_to(
+            jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
+        )
+        scores = jnp.where(frontier >= 0, 0.0, _NEG_INF).astype(jnp.float32)
+        ids_hilo = jnp.full((b, width, 2), -1.0, jnp.float32)
+        ids_hilo = ids_hilo.at[:, :, 1].set(4095.0)
+
+        def level_body(carry, _):
+            frontier, scores, _ids = carry
+            top_scores, top_idx = jax.lax.top_k(scores, beam)
+            top_codes = onehot_select(frontier, top_idx)
+            top_alive = top_scores > _NEG_INF / 2
+            rows = table[jnp.clip(top_codes, 0, n_pairs - 1)]
+            new_scores, hilo = packed_level_pallas(
+                params, rows, top_alive, seq_e, pad, e,
+                tile_b=min(tile_b, b), interpret=interpret,
+            )
+            # kernel outputs are BLOCK-ordered (left children | right
+            # children) — keep codes in the same order; beam search is
+            # order-insensitive within a frontier
+            children = jnp.concatenate(
+                [2 * top_codes + 1, 2 * top_codes + 2], axis=1
+            )
+            return (children, new_scores, hilo), None
+
+        (frontier, scores, ids_hilo), _ = jax.lax.scan(
+            level_body, (frontier, scores, ids_hilo), None, length=n_levels
+        )
+        ids = (
+            ids_hilo[..., 0].astype(jnp.int32) * 4096
+            + ids_hilo[..., 1].astype(jnp.int32)
+        )
+        leaf_ok = scores > _NEG_INF / 2
+        return jnp.where(leaf_ok, ids, -1), scores
+
+    return lambda params, seq_codes: run(params, seq_codes, packed.pair_table)

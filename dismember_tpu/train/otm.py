@@ -315,8 +315,64 @@ class OTMTrainer:
         return logs
 
     # ------------------------------------------------------------------
+    def _packed_search(self):
+        """Packed pair-table serving loop over the OTM complete tree.
+
+        Serving-only fast path (training trajectories stay on _beam_traj):
+        the same deep-catalog layout win as TDM's packed beam
+        (retrieval/packed_beam.py — one 128-lane row gather per level instead
+        of a code-indexed embedding gather).  OTM's tree is complete, so
+        every heap slot "exists" (the classic trajectory never masks) and the
+        id lanes carry the leaf CODE itself; validity/consumed filtering
+        stays in recommend_batch exactly as for the classic path.  Rebuilt
+        lazily whenever ``self.params`` is replaced (each train batch returns
+        fresh donated arrays, so identity tracks staleness).  f64 parity mode
+        keeps the classic f32/f64 trajectory path.
+        """
+        if self._x64 or self.n_levels < 1:
+            return None
+        cached = getattr(self, "_packed_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        from dismember_tpu.retrieval.packed_beam import (
+            PackedTree,
+            build_pair_table,
+            make_packed_beam_fn,
+        )
+        from dismember_tpu.retrieval.tree_beam import TreeBeamConfig
+        from dismember_tpu.train.tdm import packed_fns
+
+        total = self.data.num_tree_nodes
+        s = self.start_level
+        start = np.arange((1 << s) - 1, (1 << (s + 1)) - 1, dtype=np.int64)
+        width = 2 * self.beam
+        padded = np.concatenate([start, np.full(width - len(start), -1)])
+        cfg = TreeBeamConfig(
+            beam=self.beam,
+            max_level=self.leaf_level,
+            start_level=s,
+            start_codes_padded=tuple(int(c) for c in padded),
+        )
+        table = build_pair_table(
+            self.params["embedding"],
+            np.ones(total, dtype=bool),
+            np.arange(total, dtype=np.int64),
+            total,
+        )
+        packed = PackedTree(
+            pair_table=table, embed_size=self.embed_size, cfg=cfg
+        )
+        pre, app = packed_fns(self.model_type)
+        fn = make_packed_beam_fn(packed, pre, app)
+        self._packed_cache = (self.params, fn)
+        return fn
+
     def batch_beam_search(self, seqs: np.ndarray):
         """Final-level candidates [B, 2*beam] (codes) + scores."""
+        fn = self._packed_search()
+        if fn is not None:
+            codes, scores = fn(self.params, jnp.asarray(seqs, jnp.int32))
+            return np.asarray(codes), np.asarray(scores)
         with self._ctx():
             nodes, scores = self._beam_traj(
                 self.params, jnp.asarray(seqs, jnp.int32)

@@ -39,6 +39,8 @@ def main() -> None:
     from dismember_tpu.retrieval.packed_beam import (
         make_packed_beam_fn,
         make_packed_tree,
+        make_stride2_beam_fn,
+        make_subtree_tree,
     )
     from dismember_tpu.retrieval.tree_beam import make_beam_fn
 
@@ -63,17 +65,29 @@ def main() -> None:
     )
     packed = make_packed_tree(tree, params["embedding"], beam=args.beam)
     packed_fn = make_packed_beam_fn(packed, din.precompute_seq, din.apply_from_emb)
+    st = make_subtree_tree(tree, params["embedding"], beam=args.beam)
+    stride_fn = make_stride2_beam_fn(st, din.precompute_seq, din.apply_from_emb)
+    from dismember_tpu.retrieval.packed_beam import make_packed_beam_fn_pallas
+    pallas_fn = make_packed_beam_fn_pallas(packed)
 
     # parity at depth
     ids_c, sc_c = jax.device_get(classic(params, seq_codes[:64]))
-    ids_p, sc_p = jax.device_get(packed_fn(params, seq_codes[:64]))
-    alive = ids_c >= 0
-    parity = bool((ids_p == ids_c).all()) and bool(
-        np.allclose(sc_p[alive], sc_c[alive], rtol=1e-5)
-    )
-    print(json.dumps({"parity_64rows": parity}), flush=True)
+    for pname, pfn in [("packed", packed_fn), ("stride2", stride_fn),
+                       ("pallas", pallas_fn)]:
+        ids_p, sc_p = jax.device_get(pfn(params, seq_codes[:64]))
+        # order-insensitive: compare id-sorted (id, score) pairs per row
+        parity = True
+        for i in range(len(ids_c)):
+            ac, ap = ids_c[i] >= 0, ids_p[i] >= 0
+            oc, op = np.argsort(ids_c[i][ac]), np.argsort(ids_p[i][ap])
+            if not np.array_equal(ids_p[i][ap][op], ids_c[i][ac][oc]) or \
+               not np.allclose(sc_p[i][ap][op], sc_c[i][ac][oc], rtol=1e-4):
+                parity = False
+                break
+        print(json.dumps({f"parity_{pname}_64rows": parity}), flush=True)
 
-    for name, fn in [("classic", classic), ("packed", packed_fn)]:
+    for name, fn in [("classic", classic), ("packed", packed_fn),
+                     ("stride2", stride_fn), ("pallas", pallas_fn)]:
         ms = device_time_ms(lambda: fn(params, seq_codes), iters=args.iters)
         qps = args.batch / (ms / 1e3) if ms > 0 else 0.0
         print(json.dumps({"variant": name, "device_ms_per_batch": round(ms, 2),

@@ -96,6 +96,94 @@ def test_packed_matches_classic_deepfm(tree):
     np.testing.assert_allclose(sc_p[alive], sc_c[alive], rtol=1e-6)
 
 
+@pytest.mark.parametrize("beam", [1, 4])
+def test_stride2_matches_classic(tree, beam):
+    """Stride-2 subtree loop (one gather per two levels, incl. the odd-depth
+    lead-in) returns the same items as the classic loop."""
+    from dismember_tpu.retrieval.packed_beam import (
+        make_stride2_beam_fn,
+        make_subtree_tree,
+    )
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(6), num_index, 8)
+    classic = make_beam_fn(
+        din.forward, tree, beam=beam,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    st = make_subtree_tree(tree, params["embedding"], beam=beam)
+    stride_fn = make_stride2_beam_fn(st, din.precompute_seq, din.apply_from_emb)
+    seqs = _seqs(tree, seed=11)
+    ids_c, sc_c = jax.device_get(classic(params, seqs))
+    ids_p, sc_p = jax.device_get(stride_fn(params, seqs))
+    np.testing.assert_array_equal(ids_p, ids_c)
+    alive = ids_c >= 0
+    np.testing.assert_allclose(sc_p[alive], sc_c[alive], rtol=1e-6)
+
+
+@pytest.mark.parametrize("beam", [4, 8])
+def test_pallas_level_body_matches_classic(tree, beam):
+    """Packed beam with the fused Pallas level body (interpret mode on CPU)
+    returns the same items; scores agree to float tolerance (the kernel's
+    f32 MXU matmuls vs XLA's default-precision einsums)."""
+    from dismember_tpu.retrieval.packed_beam import make_packed_beam_fn_pallas
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(8), num_index, 16)
+    classic = make_beam_fn(
+        din.forward, tree, beam=beam,
+        precompute=din.precompute_seq, apply=din.apply_with_ctx,
+    )
+    try:
+        packed = make_packed_tree(tree, params["embedding"], beam=beam)
+    except ValueError:
+        pytest.skip("tree too small for this beam")
+    pallas_fn = make_packed_beam_fn_pallas(packed, tile_b=4, interpret=True)
+    seqs = _seqs(tree, seed=13)
+    ids_c, sc_c = jax.device_get(classic(params, seqs))
+    ids_p, sc_p = jax.device_get(pallas_fn(params, seqs))
+    # kernel emits block order (left|right children) vs classic interleave:
+    # compare as id-sorted (id, score) sets per row
+    for i in range(len(ids_c)):
+        ac, ap = ids_c[i] >= 0, ids_p[i] >= 0
+        order_c, order_p = np.argsort(ids_c[i][ac]), np.argsort(ids_p[i][ap])
+        np.testing.assert_array_equal(
+            ids_p[i][ap][order_p], ids_c[i][ac][order_c])
+        np.testing.assert_allclose(
+            sc_p[i][ap][order_p], sc_c[i][ac][order_c],
+            rtol=2e-4, atol=1e-5)
+
+
+def test_subtree_table_contents(tree):
+    from dismember_tpu.retrieval.packed_beam import build_subtree_table
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(7), num_index, 8)
+    table = np.asarray(build_subtree_table(
+        params["embedding"], tree.node_exists, tree.node_id, tree.total_codes
+    ))
+    emb = np.asarray(params["embedding"])
+    e = 8
+    assert table.shape == ((tree.total_codes - 3) // 4, 128)
+    for c in [0, 1, table.shape[0] - 1]:
+        np.testing.assert_array_equal(
+            table[c, : 2 * e].reshape(2, e), emb[[2 * c + 1, 2 * c + 2]])
+        np.testing.assert_array_equal(
+            table[c, 2 * e : 6 * e].reshape(4, e),
+            emb[[4 * c + 3, 4 * c + 4, 4 * c + 5, 4 * c + 6]])
+        np.testing.assert_array_equal(
+            table[c, 6 * e : 6 * e + 2],
+            tree.node_exists[[2 * c + 1, 2 * c + 2]].astype(np.float32))
+        np.testing.assert_array_equal(
+            table[c, 6 * e + 2 : 6 * e + 6],
+            tree.node_exists[[4 * c + 3, 4 * c + 4, 4 * c + 5, 4 * c + 6]]
+            .astype(np.float32))
+        hilo = table[c, 6 * e + 6 : 6 * e + 14].reshape(4, 2)
+        got = (hilo[:, 0] * 4096 + hilo[:, 1]).astype(np.int64)
+        np.testing.assert_array_equal(
+            got, tree.node_id[[4 * c + 3, 4 * c + 4, 4 * c + 5, 4 * c + 6]])
+
+
 def test_serving_facade_packed_path(tree):
     """TDMServing with packed=True serves identical recommendations."""
     from dismember_tpu.serving import TDMServing
