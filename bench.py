@@ -46,7 +46,7 @@ def deep_catalog_bench() -> None:
     from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
     from dismember_tpu.models import din
     from dismember_tpu.retrieval.packed_beam import (
-        make_packed_beam_fn,
+        make_hybrid_beam_fn,
         make_packed_tree,
     )
     from dismember_tpu.train.tdm import TDMTrainer
@@ -80,9 +80,9 @@ def deep_catalog_bench() -> None:
     dt = time.perf_counter() - t0
     rows_per_s = n_steps * b * trainer.sampler.unit / dt
 
-    # --- serving QPS (packed pair-table loop — the serving default) -------
+    # --- serving QPS (hybrid packed loop — the serving default) -----------
     packed = make_packed_tree(tree, trainer.params["embedding"], beam=20)
-    beam_fn = make_packed_beam_fn(
+    beam_fn = make_hybrid_beam_fn(
         packed, din.precompute_seq, din.apply_from_emb
     )
     seq_codes = tree.ids_to_codes(rng.integers(1, n_items + 1, size=(4096, 10)))

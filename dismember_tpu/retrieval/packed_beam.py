@@ -477,3 +477,132 @@ def make_packed_beam_fn_pallas(
         return jnp.where(leaf_ok, ids, -1), scores
 
     return lambda params, seq_codes: run(params, seq_codes, packed.pair_table)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid beam: contraction for the shallow levels, gather for the deep ones.
+#
+# Per level the gather fetches B*beam rows (~0.76ms at batch 4096) no matter
+# how SMALL the level is — at level 5 all 4096 queries pull from just 32
+# distinct pair rows.  For levels with <= max_contract_rows pair rows the
+# hybrid replaces the gather with a one-hot contraction against the level's
+# static pair-table slice (an MXU matmul over at most [B, beam, 512] x
+# [512, 2E+2] — microseconds).  Exactness: the contraction only carries the
+# embedding and exists lanes — emb lanes are rounded to bf16 by the MXU
+# either way (the scorer's first matmul does the same rounding, so scores
+# are bitwise-identical to the gather path), exists is 0/1 (exact in bf16),
+# and the id lanes are deliberately EXCLUDED (bf16 would corrupt them — see
+# the stride-2 id fix): shallow levels never emit leaf ids, and the final
+# level always uses the gather body.
+# ---------------------------------------------------------------------------
+
+
+def beam_search_hybrid(
+    apply_from_emb: Callable[..., jnp.ndarray],
+    params,
+    seq_codes: jnp.ndarray,
+    pair_table: jnp.ndarray,
+    embed_size: int,
+    cfg: TreeBeamConfig,
+    precompute: Callable,
+    max_contract_rows: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract (and bitwise-same results) as beam_search_packed.
+
+    ``max_contract_rows=8192`` is the measured v5e crossover (1M items,
+    batch 4096, beam 20): 12.4ms/batch vs 19.3ms all-gather — the
+    contraction beats the gather up to level 13 and loses above it."""
+    b = seq_codes.shape[0]
+    beam = cfg.beam
+    width = 2 * beam
+    e = embed_size
+    n_pairs = pair_table.shape[0]
+
+    ctx = precompute(params, seq_codes)
+
+    frontier = jnp.broadcast_to(
+        jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
+    )
+    valid = frontier >= 0
+    scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
+
+    n_levels = cfg.max_level - cfg.start_level
+    # levels whose pair rows fit the contraction, always leaving >= 1
+    # gather level at the bottom (it produces the leaf ids)
+    n_contract = 0
+    for i in range(n_levels - 1):
+        if (1 << (cfg.start_level + i)) <= max_contract_rows:
+            n_contract += 1
+        else:
+            break
+
+    for i in range(n_contract):  # unrolled: tiny static slices per level
+        lvl = cfg.start_level + i
+        lo, n = (1 << lvl) - 1, 1 << lvl
+        seg = jax.lax.slice(pair_table, (lo, 0), (lo + n, 2 * e + 2))
+        top_scores, top_idx = jax.lax.top_k(scores, beam)
+        top_codes = onehot_select(frontier, top_idx)
+        top_alive = top_scores > _NEG_INF / 2
+        onehot = (
+            (top_codes - lo)[..., None] == jnp.arange(n, dtype=jnp.int32)
+        ).astype(jnp.float32)  # dead slots (-1) select nothing -> zero rows
+        rows = jnp.einsum("bkn,nw->bkw", onehot, seg)
+        emb = rows[..., : 2 * e].reshape(b, width, e)
+        exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
+        alive = exists & jnp.repeat(top_alive, 2, axis=1)
+        frontier = jnp.stack(
+            [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
+        ).reshape(b, width)
+        logits = apply_from_emb(params, emb, ctx)
+        scores = jnp.where(alive, logits, _NEG_INF)
+
+    ids_hilo = jnp.full((b, width, 2), -1.0, jnp.float32)
+    ids_hilo = ids_hilo.at[:, :, 1].set(4095.0)
+
+    def level_body(carry, _):
+        frontier, scores, _ids = carry
+        top_scores, top_idx = jax.lax.top_k(scores, beam)
+        top_codes = onehot_select(frontier, top_idx)
+        top_alive = top_scores > _NEG_INF / 2
+        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)]
+        emb = rows[..., : 2 * e].reshape(b, width, e)
+        exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
+        child_hilo = rows[..., 2 * e + 2 : 2 * e + 6].reshape(b, width, 2)
+        alive = exists & jnp.repeat(top_alive, 2, axis=1)
+        children = jnp.stack(
+            [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
+        ).reshape(b, width)
+        logits = apply_from_emb(params, emb, ctx)
+        return (children, jnp.where(alive, logits, _NEG_INF), child_hilo), None
+
+    (frontier, scores, ids_hilo), _ = jax.lax.scan(
+        level_body, (frontier, scores, ids_hilo), None,
+        length=n_levels - n_contract,
+    )
+
+    ids = (
+        ids_hilo[..., 0].astype(jnp.int32) * 4096
+        + ids_hilo[..., 1].astype(jnp.int32)
+    )
+    leaf_ok = scores > _NEG_INF / 2
+    return jnp.where(leaf_ok, ids, -1), scores
+
+
+def make_hybrid_beam_fn(
+    packed: PackedTree,
+    precompute: Callable,
+    apply_from_emb: Callable,
+    max_contract_rows: int = 8192,
+) -> Callable:
+    """Jitted hybrid (contraction-above, gather-below) packed beam."""
+    cfg = packed.cfg
+    e = packed.embed_size
+
+    @jax.jit
+    def run(params, seq_codes, table):
+        return beam_search_hybrid(
+            apply_from_emb, params, seq_codes, table, e, cfg, precompute,
+            max_contract_rows=max_contract_rows,
+        )
+
+    return lambda params, seq_codes: run(params, seq_codes, packed.pair_table)

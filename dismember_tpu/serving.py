@@ -86,7 +86,7 @@ class TDMServing:
                 from dismember_tpu.retrieval.packed_beam import (
                     PackedTree,
                     build_pair_table,
-                    make_packed_beam_fn,
+                    make_hybrid_beam_fn,
                 )
                 from dismember_tpu.retrieval.tree_beam import make_config
 
@@ -100,7 +100,9 @@ class TDMServing:
                     embed_size=int(self.params["embedding"].shape[1]),
                     cfg=make_config(self.tree, cn),
                 )
-                self._beam_fns[cn] = make_packed_beam_fn(
+                # hybrid = packed + contraction for the shallow levels;
+                # exact parity, 19.3 -> 12.4 ms/batch at 1M items
+                self._beam_fns[cn] = make_hybrid_beam_fn(
                     packed, self.precompute, self.apply_emb
                 )
             else:

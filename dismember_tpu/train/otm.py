@@ -337,7 +337,7 @@ class OTMTrainer:
         from dismember_tpu.retrieval.packed_beam import (
             PackedTree,
             build_pair_table,
-            make_packed_beam_fn,
+            make_hybrid_beam_fn,
         )
         from dismember_tpu.retrieval.tree_beam import TreeBeamConfig
         from dismember_tpu.train.tdm import packed_fns
@@ -363,7 +363,7 @@ class OTMTrainer:
             pair_table=table, embed_size=self.embed_size, cfg=cfg
         )
         pre, app = packed_fns(self.model_type)
-        fn = make_packed_beam_fn(packed, pre, app)
+        fn = make_hybrid_beam_fn(packed, pre, app)
         self._packed_cache = (self.params, fn)
         return fn
 

@@ -37,6 +37,7 @@ def main() -> None:
     from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
     from dismember_tpu.models import din
     from dismember_tpu.retrieval.packed_beam import (
+        make_hybrid_beam_fn,
         make_packed_beam_fn,
         make_packed_tree,
         make_stride2_beam_fn,
@@ -69,11 +70,19 @@ def main() -> None:
     stride_fn = make_stride2_beam_fn(st, din.precompute_seq, din.apply_from_emb)
     from dismember_tpu.retrieval.packed_beam import make_packed_beam_fn_pallas
     pallas_fn = make_packed_beam_fn_pallas(packed)
+    hybrid_fns = {
+        f"hybrid{cap}": make_hybrid_beam_fn(
+            packed, din.precompute_seq, din.apply_from_emb,
+            max_contract_rows=cap,
+        )
+        for cap in (256, 512, 1024, 4096)
+    }
 
     # parity at depth
     ids_c, sc_c = jax.device_get(classic(params, seq_codes[:64]))
     for pname, pfn in [("packed", packed_fn), ("stride2", stride_fn),
-                       ("pallas", pallas_fn)]:
+                       ("pallas", pallas_fn),
+                       ("hybrid512", hybrid_fns["hybrid512"])]:
         ids_p, sc_p = jax.device_get(pfn(params, seq_codes[:64]))
         # order-insensitive: compare id-sorted (id, score) pairs per row
         parity = True
@@ -87,7 +96,8 @@ def main() -> None:
         print(json.dumps({f"parity_{pname}_64rows": parity}), flush=True)
 
     for name, fn in [("classic", classic), ("packed", packed_fn),
-                     ("stride2", stride_fn), ("pallas", pallas_fn)]:
+                     ("stride2", stride_fn), ("pallas", pallas_fn),
+                     *hybrid_fns.items()]:
         ms = device_time_ms(lambda: fn(params, seq_codes), iters=args.iters)
         qps = args.batch / (ms / 1e3) if ms > 0 else 0.0
         print(json.dumps({"variant": name, "device_ms_per_batch": round(ms, 2),

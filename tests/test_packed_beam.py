@@ -223,3 +223,29 @@ def test_packed_bf16_table_upcasts(tree):
     ids_c, _ = jax.device_get(classic(params_bf16, seqs))
     ids_p, _ = jax.device_get(packed_fn(params_bf16, seqs))
     np.testing.assert_array_equal(ids_p, ids_c)
+
+
+@pytest.mark.parametrize("cap", [4, 64, 1 << 30])
+def test_hybrid_matches_packed(tree, cap):
+    """Hybrid (contraction-above, gather-below) beam: exact id/score parity
+    with the packed loop at every contraction/gather split, including the
+    all-contraction-but-last-level extreme."""
+    from dismember_tpu.retrieval.packed_beam import make_hybrid_beam_fn
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(9), num_index, 8)
+    packed = make_packed_tree(tree, params["embedding"], beam=4)
+    packed_fn = make_packed_beam_fn(
+        packed, din.precompute_seq, din.apply_from_emb
+    )
+    hybrid_fn = make_hybrid_beam_fn(
+        packed, din.precompute_seq, din.apply_from_emb, max_contract_rows=cap
+    )
+    seqs = _seqs(tree, seed=17)
+    ids_p, sc_p = jax.device_get(packed_fn(params, seqs))
+    ids_h, sc_h = jax.device_get(hybrid_fn(params, seqs))
+    np.testing.assert_array_equal(ids_h, ids_p)
+    alive = ids_p >= 0
+    # unrolled levels fuse differently than the scan body: reassociation
+    # moves scores a few ulps, never the selected ids
+    np.testing.assert_allclose(sc_h[alive], sc_p[alive], rtol=1e-6, atol=1e-6)
