@@ -63,6 +63,43 @@ def _encode_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi.astype(np.float32), lo.astype(np.float32)
 
 
+# id lanes per table dtype: every digit must be an exactly-representable
+# integer in the lane dtype.  f32 (24-bit mantissa) takes 2 base-4096 digits
+# (top digit <= 2^19 for int32 ids, exact).  bf16 (8-bit mantissa, ints up
+# to 256 exact) takes 4 base-256 digits (top digit <= 127 for int32 ids).
+_ID_LAYOUT = {
+    np.dtype(np.float32): (2, 4096),
+    np.dtype(jnp.bfloat16): (4, 256),
+}
+
+
+def _id_layout(dtype) -> tuple[int, int]:
+    """(digits per id, base) for a pair-table lane dtype."""
+    return _ID_LAYOUT[np.dtype(dtype)]
+
+
+def _encode_id_digits(ids: np.ndarray, k: int, base: int) -> np.ndarray:
+    """[N] int -> [N, k] float32 radix digits; the TOP digit keeps the full
+    remaining quotient (and the sign: -1 -> (-1, base-1, ...) which decodes
+    back to -1 under the floor-division radix identity)."""
+    rem = ids.astype(np.int64)
+    digits = []
+    for _ in range(k - 1):
+        q = np.floor_divide(rem, base)
+        digits.append(rem - base * q)
+        rem = q
+    digits.append(rem)
+    return np.stack(digits[::-1], axis=-1).astype(np.float32)
+
+
+def _decode_id_digits(digits: jnp.ndarray, base: int) -> jnp.ndarray:
+    """[..., k] float digit lanes -> [...] exact int32 ids (VPU, elementwise)."""
+    acc = digits[..., 0].astype(jnp.int32)
+    for i in range(1, digits.shape[-1]):
+        acc = acc * base + digits[..., i].astype(jnp.int32)
+    return acc
+
+
 @dataclasses.dataclass(frozen=True)
 class PackedTree:
     """Device-side packed pair table + the beam config it serves."""
@@ -77,35 +114,50 @@ def build_pair_table(
     node_exists: np.ndarray,  # [total_codes] bool (host)
     node_id: np.ndarray,  # [total_codes] int32 (host)
     total_codes: int,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """One fused device program: reshape-slice the embedding halves and
     concatenate exists/id lanes.  n_pairs = (total_codes - 1) // 2 rows —
     every internal heap slot, existing or not (dead rows are masked by their
-    exists lanes at query time)."""
+    exists lanes at query time).
+
+    ``dtype=jnp.bfloat16`` halves HBM (8.6GB -> 4.3GB at 10M items): emb
+    lanes are rounded to bf16 (the MXU rounds matmul operands to bf16
+    anyway, so scorers that only matmul the candidate embedding — DIN,
+    DeepFM — produce identical scores on TPU), exists is 0/1 (exact), and
+    ids are stored as 4 base-256 digits per child (every digit an exact
+    bf16 integer)."""
     n_pairs = (total_codes - 1) // 2
     e = embedding.shape[1]
-    used = 2 * e + 6
+    k, base = _id_layout(dtype)
+    used = 2 * e + 2 + 2 * k
     row_width = ((used + 127) // 128) * 128
 
     child_exists = np.asarray(
         node_exists[1 : 2 * n_pairs + 1], np.float32
     ).reshape(n_pairs, 2)
-    hi, lo = _encode_ids(np.asarray(node_id[1 : 2 * n_pairs + 1], np.int64))
-    id_lanes = np.stack(
-        [hi[0::2], lo[0::2], hi[1::2], lo[1::2]], axis=1
-    )  # [n_pairs, 4]: hi_l, lo_l, hi_r, lo_r
+    digits = _encode_id_digits(
+        np.asarray(node_id[1 : 2 * n_pairs + 1], np.int64), k, base
+    )  # [2*n_pairs, k]
+    id_lanes = np.concatenate(
+        [digits[0::2], digits[1::2]], axis=1
+    )  # [n_pairs, 2k]: left child digits | right child digits
 
     @jax.jit
     def build(emb, cex, cid):
-        pairs = emb[1 : 2 * n_pairs + 1].astype(jnp.float32)
+        pairs = emb[1 : 2 * n_pairs + 1].astype(dtype)
         pairs = pairs.reshape(n_pairs, 2 * e)
-        pad = jnp.zeros((n_pairs, row_width - used), jnp.float32)
-        return jnp.concatenate([pairs, cex, cid, pad], axis=1)
+        pad = jnp.zeros((n_pairs, row_width - used), dtype)
+        return jnp.concatenate(
+            [pairs, cex.astype(dtype), cid.astype(dtype), pad], axis=1
+        )
 
     return build(embedding, jnp.asarray(child_exists), jnp.asarray(id_lanes))
 
 
-def make_packed_tree(tree: ArrayTree, embedding: jnp.ndarray, beam: int) -> PackedTree:
+def make_packed_tree(
+    tree: ArrayTree, embedding: jnp.ndarray, beam: int, dtype=jnp.float32
+) -> PackedTree:
     cfg = make_config(tree, beam)
     if cfg.max_level - cfg.start_level < 1:
         raise ValueError(
@@ -113,7 +165,7 @@ def make_packed_tree(tree: ArrayTree, embedding: jnp.ndarray, beam: int) -> Pack
             "use the classic loop for trees this small"
         )
     table = build_pair_table(
-        embedding, tree.node_exists, tree.node_id, tree.total_codes
+        embedding, tree.node_exists, tree.node_id, tree.total_codes, dtype=dtype
     )
     return PackedTree(pair_table=table, embed_size=int(embedding.shape[1]), cfg=cfg)
 
@@ -137,6 +189,7 @@ def beam_search_packed(
     width = 2 * beam
     e = embed_size
     n_pairs = pair_table.shape[0]
+    k, base = _id_layout(pair_table.dtype)
 
     ctx = precompute(params, seq_codes)
 
@@ -145,9 +198,12 @@ def beam_search_packed(
     )
     valid = frontier >= 0
     scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
-    # id lanes (hi, lo) of the current frontier; only read at the bottom
-    ids_hilo = jnp.full((b, width, 2), -1.0, jnp.float32)
-    ids_hilo = ids_hilo.at[:, :, 1].set(4095.0)  # (-1, 4095) decodes to -1
+    # id digit lanes of the current frontier; only read at the bottom.
+    # Initialized to the digits of -1 (decodes to -1 if never overwritten).
+    ids_digits = jnp.broadcast_to(
+        jnp.asarray(_encode_id_digits(np.asarray([-1]), k, base)[0]),
+        (b, width, k),
+    )
 
     def level_body(carry, _):
         frontier, scores, _ids = carry
@@ -155,26 +211,27 @@ def beam_search_packed(
         top_codes = onehot_select(frontier, top_idx)  # [B, beam]
         top_alive = top_scores > _NEG_INF / 2
         # ONE gather: everything about both children of each top node
-        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)]
+        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)].astype(
+            jnp.float32
+        )  # bf16 tables upcast post-gather (fused into the consumers)
         emb = rows[..., : 2 * e].reshape(b, width, e)
         exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
-        child_hilo = rows[..., 2 * e + 2 : 2 * e + 6].reshape(b, width, 2)
+        child_digits = rows[..., 2 * e + 2 : 2 * e + 2 + 2 * k].reshape(
+            b, width, k
+        )
         alive = exists & jnp.repeat(top_alive, 2, axis=1)
         children = jnp.stack(
             [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
         ).reshape(b, width)
         logits = apply_from_emb(params, emb, ctx)
-        return (children, jnp.where(alive, logits, _NEG_INF), child_hilo), None
+        return (children, jnp.where(alive, logits, _NEG_INF), child_digits), None
 
     n_levels = cfg.max_level - cfg.start_level
-    (frontier, scores, ids_hilo), _ = jax.lax.scan(
-        level_body, (frontier, scores, ids_hilo), None, length=n_levels
+    (frontier, scores, ids_digits), _ = jax.lax.scan(
+        level_body, (frontier, scores, ids_digits), None, length=n_levels
     )
 
-    ids = (
-        ids_hilo[..., 0].astype(jnp.int32) * 4096
-        + ids_hilo[..., 1].astype(jnp.int32)
-    )
+    ids = _decode_id_digits(ids_digits, base)
     leaf_ok = scores > _NEG_INF / 2
     return jnp.where(leaf_ok, ids, -1), scores
 
@@ -428,6 +485,9 @@ def make_packed_beam_fn_pallas(
     from dismember_tpu.models.embedding import embed_lookup
     from dismember_tpu.ops.packed_level_kernel import packed_level_pallas
 
+    if packed.pair_table.dtype != jnp.float32:
+        raise ValueError("the Pallas level body only supports f32 pair tables")
+
     cfg = packed.cfg
     e = packed.embed_size
     beam = cfg.beam
@@ -517,6 +577,7 @@ def beam_search_hybrid(
     width = 2 * beam
     e = embed_size
     n_pairs = pair_table.shape[0]
+    k, base = _id_layout(pair_table.dtype)
 
     ctx = precompute(params, seq_codes)
 
@@ -539,7 +600,9 @@ def beam_search_hybrid(
     for i in range(n_contract):  # unrolled: tiny static slices per level
         lvl = cfg.start_level + i
         lo, n = (1 << lvl) - 1, 1 << lvl
-        seg = jax.lax.slice(pair_table, (lo, 0), (lo + n, 2 * e + 2))
+        seg = jax.lax.slice(pair_table, (lo, 0), (lo + n, 2 * e + 2)).astype(
+            jnp.float32
+        )
         top_scores, top_idx = jax.lax.top_k(scores, beam)
         top_codes = onehot_select(frontier, top_idx)
         top_alive = top_scores > _NEG_INF / 2
@@ -556,34 +619,37 @@ def beam_search_hybrid(
         logits = apply_from_emb(params, emb, ctx)
         scores = jnp.where(alive, logits, _NEG_INF)
 
-    ids_hilo = jnp.full((b, width, 2), -1.0, jnp.float32)
-    ids_hilo = ids_hilo.at[:, :, 1].set(4095.0)
+    ids_digits = jnp.broadcast_to(
+        jnp.asarray(_encode_id_digits(np.asarray([-1]), k, base)[0]),
+        (b, width, k),
+    )
 
     def level_body(carry, _):
         frontier, scores, _ids = carry
         top_scores, top_idx = jax.lax.top_k(scores, beam)
         top_codes = onehot_select(frontier, top_idx)
         top_alive = top_scores > _NEG_INF / 2
-        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)]
+        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)].astype(
+            jnp.float32
+        )
         emb = rows[..., : 2 * e].reshape(b, width, e)
         exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
-        child_hilo = rows[..., 2 * e + 2 : 2 * e + 6].reshape(b, width, 2)
+        child_digits = rows[..., 2 * e + 2 : 2 * e + 2 + 2 * k].reshape(
+            b, width, k
+        )
         alive = exists & jnp.repeat(top_alive, 2, axis=1)
         children = jnp.stack(
             [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
         ).reshape(b, width)
         logits = apply_from_emb(params, emb, ctx)
-        return (children, jnp.where(alive, logits, _NEG_INF), child_hilo), None
+        return (children, jnp.where(alive, logits, _NEG_INF), child_digits), None
 
-    (frontier, scores, ids_hilo), _ = jax.lax.scan(
-        level_body, (frontier, scores, ids_hilo), None,
+    (frontier, scores, ids_digits), _ = jax.lax.scan(
+        level_body, (frontier, scores, ids_digits), None,
         length=n_levels - n_contract,
     )
 
-    ids = (
-        ids_hilo[..., 0].astype(jnp.int32) * 4096
-        + ids_hilo[..., 1].astype(jnp.int32)
-    )
+    ids = _decode_id_digits(ids_digits, base)
     leaf_ok = scores > _NEG_INF / 2
     return jnp.where(leaf_ok, ids, -1), scores
 

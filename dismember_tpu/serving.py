@@ -19,6 +19,7 @@ from dismember_tpu.core.checkpoint import load_meta, load_pytree
 class TDMServing:
     def __init__(self, params, forward, tree, precompute=None, apply=None,
                  apply_emb=None, packed: bool | None = None,
+                 packed_dtype: str | None = None,
                  topk: int = 10, candidate_num: int = 20):
         self.params = params
         self.forward = forward
@@ -31,10 +32,17 @@ class TDMServing:
         # supports it and the tree is deep enough to matter); params are
         # frozen at serving time so the pair table is built once.
         self.packed = packed
+        # pair-table lane dtype: "float32" | "bfloat16" | None = auto
+        # (bf16 when the f32 table would exceed _BF16_TABLE_BYTES — halves
+        # HBM at 10M-item catalogs, identical scores on TPU since the MXU
+        # rounds matmul operands to bf16 either way)
+        self.packed_dtype = packed_dtype
         self.topk = topk
         self.candidate_num = candidate_num
         self._beam_fns: dict[int, object] = {}
         self._pair_table = None
+
+    _BF16_TABLE_BYTES = 4 << 30  # auto-switch threshold for the f32 table
 
     @classmethod
     def load(cls, model_path: str, tree_path: str, **kwargs) -> "TDMServing":
@@ -91,9 +99,21 @@ class TDMServing:
                 from dismember_tpu.retrieval.tree_beam import make_config
 
                 if self._pair_table is None:
+                    import jax.numpy as jnp
+
+                    if self.packed_dtype is not None:
+                        dt = {"float32": jnp.float32,
+                              "bfloat16": jnp.bfloat16}[self.packed_dtype]
+                    else:
+                        e = int(self.params["embedding"].shape[1])
+                        n_pairs = (self.tree.total_codes - 1) // 2
+                        rw = ((2 * e + 6 + 127) // 128) * 128
+                        f32_bytes = n_pairs * rw * 4
+                        dt = (jnp.bfloat16 if f32_bytes > self._BF16_TABLE_BYTES
+                              else jnp.float32)
                     self._pair_table = build_pair_table(
                         self.params["embedding"], self.tree.node_exists,
-                        self.tree.node_id, self.tree.total_codes,
+                        self.tree.node_id, self.tree.total_codes, dtype=dt,
                     )
                 packed = PackedTree(
                     pair_table=self._pair_table,

@@ -225,6 +225,73 @@ def test_packed_bf16_table_upcasts(tree):
     np.testing.assert_array_equal(ids_p, ids_c)
 
 
+def test_id_digit_roundtrip():
+    """Radix id lanes are exact for every id the tree codec can produce,
+    including the -1 'no item' sentinel, in both lane layouts."""
+    from dismember_tpu.retrieval.packed_beam import (
+        _decode_id_digits,
+        _encode_id_digits,
+    )
+
+    ids = np.array(
+        [-1, 0, 1, 255, 256, 4095, 4096, 2**23 - 1, 2**23,
+         2**31 - 1, 2**31 - 2], np.int64)
+    for k, base in [(2, 4096), (4, 256)]:
+        digits = _encode_id_digits(ids, k, base)
+        # every digit must be exactly representable in the lane dtype
+        if base == 256:
+            assert np.all(np.abs(digits) <= 256), "bf16-exact digit range"
+            digits = np.asarray(
+                jnp.asarray(digits).astype(jnp.bfloat16).astype(jnp.float32))
+        back = np.asarray(_decode_id_digits(jnp.asarray(digits), base))
+        np.testing.assert_array_equal(back, ids.astype(np.int32))
+
+
+def test_packed_bf16_pair_table_parity(tree):
+    """bf16 pair-table lanes: exact id parity with the f32 table when the
+    embedding already sits on the bf16 grid (as the MXU would round it),
+    and id lanes decode exactly regardless."""
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(12), num_index, 8)
+    # snap embeddings to the bf16 grid so f32 and bf16 tables hold the
+    # same values -> bitwise-identical scores on the CPU backend too
+    params = dict(
+        params,
+        embedding=params["embedding"].astype(jnp.bfloat16).astype(jnp.float32),
+    )
+    p32 = make_packed_tree(tree, params["embedding"], beam=4)
+    p16 = make_packed_tree(
+        tree, params["embedding"], beam=4, dtype=jnp.bfloat16)
+    assert p16.pair_table.dtype == jnp.bfloat16
+    fn32 = make_packed_beam_fn(p32, din.precompute_seq, din.apply_from_emb)
+    fn16 = make_packed_beam_fn(p16, din.precompute_seq, din.apply_from_emb)
+    seqs = _seqs(tree, seed=21)
+    ids_a, sc_a = jax.device_get(fn32(params, seqs))
+    ids_b, sc_b = jax.device_get(fn16(params, seqs))
+    np.testing.assert_array_equal(ids_b, ids_a)
+    alive = ids_a >= 0
+    np.testing.assert_allclose(sc_b[alive], sc_a[alive], rtol=1e-6)
+
+
+def test_hybrid_bf16_matches_packed_bf16(tree):
+    """Hybrid loop reads bf16 tables identically to the packed scan."""
+    from dismember_tpu.retrieval.packed_beam import make_hybrid_beam_fn
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(14), num_index, 8)
+    p16 = make_packed_tree(
+        tree, params["embedding"], beam=4, dtype=jnp.bfloat16)
+    packed_fn = make_packed_beam_fn(p16, din.precompute_seq, din.apply_from_emb)
+    hybrid_fn = make_hybrid_beam_fn(
+        p16, din.precompute_seq, din.apply_from_emb, max_contract_rows=4)
+    seqs = _seqs(tree, seed=23)
+    ids_p, sc_p = jax.device_get(packed_fn(params, seqs))
+    ids_h, sc_h = jax.device_get(hybrid_fn(params, seqs))
+    np.testing.assert_array_equal(ids_h, ids_p)
+    alive = ids_p >= 0
+    np.testing.assert_allclose(sc_h[alive], sc_p[alive], rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("cap", [4, 64, 1 << 30])
 def test_hybrid_matches_packed(tree, cap):
     """Hybrid (contraction-above, gather-below) beam: exact id/score parity
