@@ -95,6 +95,20 @@ def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
     return apply_from_emb(params, item_e, ctx)
 
 
+def ctx_from_seq_emb(params: Params, seq_e: jnp.ndarray, pad: jnp.ndarray):
+    """precompute_seq from already-materialized sequence embeddings (sparse
+    train step).  ``pad`` is unused: padded rows are already zeroed, and FM /
+    DNN terms of zero vectors contribute nothing (matching useMask=false)."""
+    del pad
+    seq_sum = jnp.sum(seq_e, axis=1)
+    seq_sq = jnp.sum(seq_e * seq_e, axis=(1, 2))
+    b = seq_e.shape[0]
+    e = seq_e.shape[-1]
+    w1_seq = params["mlp1"]["weight"][:, e:]
+    seq_dnn = seq_e.reshape(b, -1) @ w1_seq.T
+    return seq_sum, seq_sq, seq_dnn
+
+
 def apply_from_emb(params: Params, item_e: jnp.ndarray, ctx) -> jnp.ndarray:
     """Score candidates from materialized embeddings (packed beam path)."""
     seq_sum, seq_sq, seq_dnn = ctx

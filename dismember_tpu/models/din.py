@@ -103,6 +103,15 @@ def apply_with_ctx(params: Params, items: jnp.ndarray, ctx) -> jnp.ndarray:
     return apply_from_emb(params, item_e, ctx)
 
 
+def ctx_from_seq_emb(params: Params, seq_e: jnp.ndarray, pad: jnp.ndarray):
+    """precompute_seq from already-materialized sequence embeddings.
+
+    Used by the sparse-embedding train step (train/tdm.py), which gathers all
+    touched rows once and differentiates w.r.t. the gathered rows instead of
+    the full table.  ``pad``: [B, 1, L] bool mask of padded positions."""
+    return seq_e, pad
+
+
 def apply_from_emb(params: Params, item_e: jnp.ndarray, ctx) -> jnp.ndarray:
     """Score candidates whose embeddings are already materialized.
 

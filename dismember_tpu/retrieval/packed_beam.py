@@ -109,6 +109,11 @@ class PackedTree:
     cfg: TreeBeamConfig
 
 
+# one-shot pair-table builds above this size go through the chunked path
+# (the fused build program's peak working set OOMs ~3x the output size)
+_ONE_SHOT_BUILD_BYTES = 1 << 30
+
+
 def build_pair_table(
     embedding: jnp.ndarray,  # [total_codes(+), E] node-code embedding table
     node_exists: np.ndarray,  # [total_codes] bool (host)
@@ -143,16 +148,50 @@ def build_pair_table(
         [digits[0::2], digits[1::2]], axis=1
     )  # [n_pairs, 2k]: left child digits | right child digits
 
-    @jax.jit
-    def build(emb, cex, cid):
-        pairs = emb[1 : 2 * n_pairs + 1].astype(dtype)
-        pairs = pairs.reshape(n_pairs, 2 * e)
-        pad = jnp.zeros((n_pairs, row_width - used), dtype)
-        return jnp.concatenate(
-            [pairs, cex.astype(dtype), cid.astype(dtype), pad], axis=1
-        )
+    out_bytes = n_pairs * row_width * np.dtype(dtype).itemsize
+    if out_bytes <= _ONE_SHOT_BUILD_BYTES:
+        @jax.jit
+        def build(emb, cex, cid):
+            pairs = emb[1 : 2 * n_pairs + 1].astype(dtype)
+            pairs = pairs.reshape(n_pairs, 2 * e)
+            pad = jnp.zeros((n_pairs, row_width - used), dtype)
+            return jnp.concatenate(
+                [pairs, cex.astype(dtype), cid.astype(dtype), pad], axis=1
+            )
 
-    return build(embedding, jnp.asarray(child_exists), jnp.asarray(id_lanes))
+        return build(embedding, jnp.asarray(child_exists), jnp.asarray(id_lanes))
+
+    # Chunked build for huge catalogs: the one-shot program's peak working
+    # set (input table + sliced pairs + pad + concat output live at once)
+    # exceeds HBM around 10M items.  Fill a preallocated buffer in equal
+    # donated slices instead — peak = buffer + embedding + one chunk.
+    import functools
+
+    n_chunks = max(1, -(-out_bytes // _ONE_SHOT_BUILD_BYTES))
+    cs = -(-n_pairs // n_chunks)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, emb, cex, cid, start):
+        pairs = jax.lax.dynamic_slice_in_dim(emb, 1 + 2 * start, 2 * cs, 0)
+        pairs = pairs.astype(dtype).reshape(cs, 2 * e)
+        block = jnp.concatenate(
+            [pairs, cex.astype(dtype), cid.astype(dtype)], axis=1
+        )
+        return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+    buf = jnp.zeros((n_pairs, row_width), dtype)
+    for i in range(n_chunks):
+        # equal-size chunks (one compile); the tail chunk overlap-rewrites
+        # rows already written with identical values
+        start = min(i * cs, n_pairs - cs)
+        buf = fill(
+            buf,
+            embedding,
+            jnp.asarray(child_exists[start : start + cs]),
+            jnp.asarray(id_lanes[start : start + cs]),
+            start,
+        )
+    return buf
 
 
 def make_packed_tree(

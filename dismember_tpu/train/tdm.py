@@ -87,6 +87,10 @@ class TDMTrainer:
     mesh: object = None  # jax.sharding.Mesh -> SPMD train step (spmd.py)
     embed_dtype: object = None  # e.g. jnp.bfloat16: halve table memory for
     # huge catalogs (compute stays f32; Adam moments kept f32)
+    sparse_embed_update: bool | None = None  # lazy row-sparse Adam on the
+    # embedding table (train/sparse_adam.py).  None = auto: on for >=2^20-row
+    # tables on a single chip, where dense Adam's O(table) HBM traffic
+    # dominates the step; dense (exact reference Adam) otherwise.
 
     def __post_init__(self):
         key = jax.random.PRNGKey(self.seed)
@@ -134,15 +138,38 @@ class TDMTrainer:
             self.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
             mu_dtype=jnp.float32,  # full-precision moments under bf16 params
         )
-        self.opt_state = self.optimizer.init(self.params)
-        if self.mesh is not None:
+        if self.sparse_embed_update and self.mesh is not None:
+            raise ValueError(
+                "sparse_embed_update is a single-chip path; the SPMD step "
+                "keeps dense Adam over the row-sharded table"
+            )
+        self._sparse = (
+            self.sparse_embed_update
+            if self.sparse_embed_update is not None
+            else (
+                self.mesh is None
+                and self.params["embedding"].shape[0] >= (1 << 20)
+            )
+        )
+        if self._sparse:
+            from dismember_tpu.train import sparse_adam
+
+            rest = {k: v for k, v in self.params.items() if k != "embedding"}
+            self.opt_state = (
+                self.optimizer.init(rest),
+                sparse_adam.init_state(self.params["embedding"]),
+            )
+            self._train_step = self._make_sparse_train_step()
+        elif self.mesh is not None:
             from dismember_tpu.train.spmd import make_sharded_train_step
 
+            self.opt_state = self.optimizer.init(self.params)
             self._train_step, self.params, self.opt_state = make_sharded_train_step(
                 self.forward, self.sampler, self.optimizer, self.mesh,
                 self.params, self.opt_state,
             )
         else:
+            self.opt_state = self.optimizer.init(self.params)
             self._train_step = self._make_train_step()
         self._eval_loss_step = self._make_eval_loss_step()
         self._beam_fn = None
@@ -167,6 +194,70 @@ class TDMTrainer:
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, loss
+
+        return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
+
+    def _make_sparse_train_step(self):
+        """Train step for huge catalogs: differentiate w.r.t. the gathered
+        embedding rows and lazy-Adam only the touched rows (sparse_adam.py).
+
+        Same forward math and same gradients as the dense step (duplicate
+        row gradients are segment-summed exactly like dense scatter-add
+        autodiff); Adam semantics differ only for UNtouched rows, which the
+        dense/reference step nudges along stale momentum each iteration and
+        this step leaves in place (TF LazyAdam / torch SparseAdam).  Buffers
+        are donated so the table and moments update in place — per-step HBM
+        traffic is O(batch*unit*E), not O(table)."""
+        import functools
+
+        from dismember_tpu.constants import PADDING_IDX
+        from dismember_tpu.models import deepfm as _deepfm, din as _din
+        from dismember_tpu.train import sparse_adam
+
+        mod = {"din": _din, "deepfm": _deepfm}[self.model_type]
+        sampler = self.sampler
+        rest_optimizer = self.optimizer
+        lr = self.learning_rate
+        sampler_state = sampler.device_state()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, target_codes, seq_codes, sstate):
+            rest_opt, emb_opt = opt_state
+            codes, labels, weights = sampler.sample(key, target_codes, sstate)
+            b, u = codes.shape
+            l = seq_codes.shape[1]
+            table = params["embedding"]
+            rest = {k: v for k, v in params.items() if k != "embedding"}
+            flat = jnp.concatenate([codes.reshape(-1), seq_codes.reshape(-1)])
+            valid = flat != PADDING_IDX
+            rows = table[jnp.where(valid, flat, 0)]
+            if rows.dtype in (jnp.bfloat16, jnp.float16):
+                rows = rows.astype(jnp.float32)
+            rows = rows * valid[:, None].astype(rows.dtype)
+            pad = (seq_codes == PADDING_IDX)[:, None, :]
+            dummy = jax.lax.stop_gradient(table[:1])
+
+            def loss_fn(rows_in, rest_in):
+                p = dict(rest_in, embedding=dummy)
+                item_e = rows_in[: b * u].reshape(b, u, -1)
+                seq_e = rows_in[b * u :].reshape(b, l, -1)
+                ctx = mod.ctx_from_seq_emb(p, seq_e, pad)
+                logits = mod.apply_from_emb(p, item_e, ctx)
+                return bce_with_logits(logits, labels, weights)
+
+            loss, (g_rows, g_rest) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(rows, rest)
+            updates, new_rest_opt = rest_optimizer.update(
+                g_rest, rest_opt, rest
+            )
+            new_rest = optax.apply_updates(rest, updates)
+            g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+            new_table, new_emb_opt = sparse_adam.apply_rows(
+                table, emb_opt, flat, g_rows, lr
+            )
+            new_params = dict(new_rest, embedding=new_table)
+            return new_params, (new_rest_opt, new_emb_opt), loss
 
         return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
 

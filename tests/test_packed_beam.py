@@ -316,3 +316,26 @@ def test_hybrid_matches_packed(tree, cap):
     # unrolled levels fuse differently than the scan body: reassociation
     # moves scores a few ulps, never the selected ids
     np.testing.assert_allclose(sc_h[alive], sc_p[alive], rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_build_matches_one_shot(tree, monkeypatch):
+    """Huge-catalog chunked pair-table build (donated slice fills) is
+    bit-identical to the one-shot fused build, f32 and bf16."""
+    import dismember_tpu.retrieval.packed_beam as pb
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(3), num_index, 8)
+    for dt in (jnp.float32, jnp.bfloat16):
+        one = build_pair_table(
+            params["embedding"], tree.node_exists, tree.node_id,
+            tree.total_codes, dtype=dt,
+        )
+        monkeypatch.setattr(pb, "_ONE_SHOT_BUILD_BYTES", 512)
+        chunked = build_pair_table(
+            params["embedding"], tree.node_exists, tree.node_id,
+            tree.total_codes, dtype=dt,
+        )
+        monkeypatch.undo()
+        np.testing.assert_array_equal(
+            np.asarray(one, np.float32), np.asarray(chunked, np.float32)
+        )

@@ -171,3 +171,47 @@ def test_training_determinism(pipeline):
         a.recommend(samples.eval_seqs[0], topk=5),
         b.recommend(samples.eval_seqs[0], topk=5),
     )
+
+
+@pytest.mark.parametrize("model_type", ["din", "deepfm"])
+def test_sparse_step_matches_dense(pipeline, model_type):
+    """Lazy row-sparse Adam (sparse_embed_update=True) matches the dense
+    step exactly on rows it touches: with identical batches every step, the
+    touched set repeats, so params/loss must agree with dense within fp
+    reassociation noise (train/sparse_adam.py docstring)."""
+    import jax.numpy as jnp
+
+    tree, samples = pipeline
+    kwargs = dict(
+        tree=tree, model_type=model_type, embed_size=8, learning_rate=3e-3,
+        total_batch_size=512, layer_neg_counts=NEG_COUNTS, seed=7,
+    )
+    dense = TDMTrainer(sparse_embed_update=False, **kwargs)
+    sparse = TDMTrainer(sparse_embed_update=True, **kwargs)
+    assert sparse._sparse and not dense._sparse
+
+    seqs = samples.train_seqs[:dense.num_targets_per_batch]
+    targets = samples.train_targets[:dense.num_targets_per_batch]
+    key = jax.random.PRNGKey(3)
+    sc = jnp.asarray(tree.ids_to_codes(seqs))
+    tc = jnp.asarray(tree.ids_to_codes(targets))
+    for step in range(3):
+        dense.params, dense.opt_state, loss_d = dense._train_step(
+            dense.params, dense.opt_state, key, tc, sc)
+        sparse.params, sparse.opt_state, loss_s = sparse._train_step(
+            sparse.params, sparse.opt_state, key, tc, sc)
+        np.testing.assert_allclose(
+            float(loss_d), float(loss_s), rtol=1e-5,
+            err_msg=f"loss diverged at step {step}")
+    for k in dense.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(dense.params[k])[0]),
+            np.asarray(jax.tree.leaves(sparse.params[k])[0]),
+            rtol=2e-4, atol=2e-6, err_msg=f"param {k} diverged")
+
+
+def test_sparse_auto_resolution(pipeline):
+    """Auto mode: dense on small catalogs, flag forces the sparse path."""
+    tree, _ = pipeline
+    t = TDMTrainer(tree=tree, embed_size=8, layer_neg_counts=NEG_COUNTS)
+    assert not t._sparse  # movielens catalog is far below 2^20 rows
