@@ -22,8 +22,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 import numpy as np
+
+# Device time comes from xplane traces (scripts/devtime.py): host wall-clock
+# through the device tunnel is unreliable even for dependent chains with a
+# final block_until_ready (measured 95x under-report — CLAUDE.md).
+from devtime import device_time_ms
 
 # Round-1 measured values (BASELINE.md) — the depth-regime numbers future
 # rounds must beat; vs_baseline for the deep rows is measured/these.
@@ -73,12 +79,18 @@ def deep_catalog_bench() -> None:
     b = trainer.num_targets_per_batch
     seqs = rng.integers(1, n_items + 1, size=(b, 10))
     targets = rng.integers(1, n_items + 1, size=b)
-    trainer.train(seqs, targets, iterations=3, progress_interval=100)  # compile
-    n_steps = 20
-    t0 = time.perf_counter()
-    trainer.train(seqs, targets, iterations=n_steps, progress_interval=100)
-    dt = time.perf_counter() - t0
-    rows_per_s = n_steps * b * trainer.sampler.unit / dt
+    sc = jnp.asarray(tree.ids_to_codes(seqs))
+    tc = jnp.asarray(tree.ids_to_codes(targets))
+    key = jax.random.PRNGKey(1)
+
+    def train_thunk():
+        trainer.params, trainer.opt_state, loss = trainer._train_step(
+            trainer.params, trainer.opt_state, key, tc, sc
+        )
+        return loss
+
+    step_ms = device_time_ms(train_thunk, iters=10)
+    rows_per_s = b * trainer.sampler.unit / (step_ms / 1e3)
 
     # --- serving QPS (hybrid packed loop — the serving default) -----------
     packed = make_packed_tree(tree, trainer.params["embedding"], beam=20)
@@ -87,21 +99,15 @@ def deep_catalog_bench() -> None:
     )
     seq_codes = tree.ids_to_codes(rng.integers(1, n_items + 1, size=(4096, 10)))
     x = jnp.asarray(seq_codes)
-    out, _ = beam_fn(trainer.params, x)
-    out.block_until_ready()
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out, _ = beam_fn(trainer.params, x)
-    out.block_until_ready()
-    qps = n_iters * len(seq_codes) / (time.perf_counter() - t0)
+    beam_ms = device_time_ms(lambda: beam_fn(trainer.params, x), iters=10)
+    qps = len(seq_codes) / (beam_ms / 1e3)
 
     print(
         json.dumps(
             {
                 "metric": "tdm_deep_catalog_beam_qps_1m_items",
                 "value": round(qps, 1),
-                "unit": "queries/s (beam=20, 1M items, 20 levels)",
+                "unit": "queries/s (beam=20, 1M items, 20 levels; xplane device time)",
                 "vs_baseline": round(qps / R01_DEEP_QPS_1M, 3),
             }
         ),
@@ -112,7 +118,7 @@ def deep_catalog_bench() -> None:
             {
                 "metric": "tdm_deep_catalog_train_rows_per_s_1m_items",
                 "value": round(rows_per_s, 1),
-                "unit": "expanded rows/s (1M items, full train step)",
+                "unit": "expanded rows/s (1M items, full train step; xplane device time)",
                 "vs_baseline": round(rows_per_s / R01_TRAIN_ROWS_10M, 3),
             }
         ),
@@ -179,17 +185,8 @@ def main() -> None:
         precompute=din.precompute_seq, apply=din.apply_with_ctx,
     )
     x = jnp.asarray(seq_codes)
-    # compile + warm up
-    ids_out, scores_out = beam_fn(trainer.params, x)
-    ids_out.block_until_ready()
-
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        ids_out, scores_out = beam_fn(trainer.params, x)
-    ids_out.block_until_ready()
-    dt = time.perf_counter() - t0
-    qps = n_iters * len(seqs) / dt
+    batch_ms = device_time_ms(lambda: beam_fn(trainer.params, x), iters=20)
+    qps = len(seqs) / (batch_ms / 1e3)
 
     # baseline stand-in: single-query sequential latency on this machine
     # (the reference protocol: avg of 100 single queries)
@@ -198,13 +195,8 @@ def main() -> None:
         trainer.forward, tree, beam=20,
         precompute=din.precompute_seq, apply=din.apply_with_ctx,
     )
-    r, _ = beam_fn1(trainer.params, one)
-    r.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(100):
-        r, _ = beam_fn1(trainer.params, one)
-    r.block_until_ready()
-    seq_qps = 100 / (time.perf_counter() - t0)
+    one_ms = device_time_ms(lambda: beam_fn1(trainer.params, one), iters=100)
+    seq_qps = 1e3 / one_ms if one_ms > 0 else 1e-9
 
     vs_baseline = qps / max(seq_qps, 1e-9)
     print(
@@ -212,7 +204,7 @@ def main() -> None:
             {
                 "metric": "tdm_beam_search_qps_per_chip",
                 "value": round(qps, 1),
-                "unit": "queries/s (beam=20, topk=10, DIN, movielens-100k sample)",
+                "unit": "queries/s (beam=20, topk=10, DIN, movielens-100k sample; xplane device time)",
                 "vs_baseline": round(vs_baseline, 2),
             }
         )

@@ -109,6 +109,38 @@ def layer_forward_training(
     return out
 
 
+def layer_logits_from_emb(
+    heads: list[Params],
+    seq_e: jnp.ndarray,  # [B, L, E] sequence embeddings (pad rows zeroed)
+    prefix_e: jnp.ndarray,  # [B, J, D-1, E] path-node embeddings by position
+    num_nodes: int,
+) -> list[jnp.ndarray]:
+    """layer_forward_training from materialized embeddings (sparse step).
+
+    A path node at position i always uses embedding row
+    ``num_items + i*num_nodes + node`` regardless of which layer consumes
+    it, so the sparse train step gathers each of the D-1 positions once and
+    layer d slices positions [0, d).  Identical math to the dense forward.
+    """
+    b, l, e = seq_e.shape
+    j = prefix_e.shape[1]
+    seq_flat = seq_e.reshape(b, l * e)
+    out: list[jnp.ndarray] = []
+    for d, head in enumerate(heads):
+        w = head["weight"]  # [K, (L+d)E]
+        bias = head["bias"]
+        seq_part = seq_flat @ w[:, : l * e].T  # [B, K]
+        if d == 0:
+            logits = jnp.broadcast_to(
+                (seq_part[:, None, :] + bias), (b, j, num_nodes)
+            )
+        else:
+            prefix_flat = prefix_e[:, :, :d].reshape(b, j, d * e)
+            logits = seq_part[:, None, :] + prefix_flat @ w[:, l * e :].T + bias
+        out.append(logits)
+    return out
+
+
 def layer_forward_beam(
     params: Params,
     seq_part_d: jnp.ndarray,  # [B, K] precomputed seq contribution for layer d
@@ -179,6 +211,47 @@ def rerank_user_vector(params: Params, seqs: jnp.ndarray) -> jnp.ndarray:
     return flat @ params["linear"]["weight"].T + params["linear"]["bias"]
 
 
+# exact Gumbel-top-k negative sampling materializes [B, num_items]; above
+# this catalog size the rejection path is used instead (same pattern as
+# train/sampler.py's level sampler)
+_EXACT_SAMPLING_MAX = 1 << 18
+
+
+def sample_negatives(
+    key: jax.Array, labels: jnp.ndarray, num_items: int, num_sampled: int
+) -> jnp.ndarray:
+    """[B] labels -> [B, S] uniform negatives, no duplicates, != label.
+
+    Exact without-replacement Gumbel top-k (the reference's semantics,
+    SampledSoftmaxLoss.scala:179-199) up to 2^18 items; above that, an
+    oversampled rejection draw (first S of ``2S+16`` candidates ranked
+    valid-first) — at that scale the residual dup/positive probability per
+    row is < S*(2S+16)/2^18, negligible for the S=1..20 regime."""
+    b = labels.shape[0]
+    if num_items <= _EXACT_SAMPLING_MAX:
+        g = -jnp.log(
+            -jnp.log(
+                jax.random.uniform(key, (b, num_items), minval=1e-20, maxval=1.0)
+            )
+        )
+        g = jnp.where(
+            jnp.arange(num_items)[None, :] == labels[:, None], -jnp.inf, g
+        )
+        _, negs = jax.lax.top_k(g, num_sampled)  # [B, S]
+        return negs
+    m = 2 * num_sampled + 16
+    cand = jax.random.randint(key, (b, m), 0, num_items, dtype=jnp.int32)
+    not_pos = cand != labels[:, None].astype(jnp.int32)
+    eq = cand[:, :, None] == cand[:, None, :]
+    tri = jnp.tril(jnp.ones((m, m), bool), k=-1)
+    dup = jnp.any(eq & tri[None], axis=-1)
+    ok = not_pos & ~dup
+    arange = jnp.arange(m)[None, :]
+    rank = jnp.where(ok, arange, m + arange)
+    order = jnp.argsort(rank, axis=1)[:, :num_sampled]
+    return jnp.take_along_axis(cand, order, axis=1)
+
+
 def sampled_softmax_loss(
     params: Params,
     user_vecs: jnp.ndarray,  # [B, E]
@@ -189,15 +262,10 @@ def sampled_softmax_loss(
     """Per-row sampled softmax (batchMode=false): pos + uniform negatives
     without replacement excluding the positive, CE at position 0."""
     num_items = params["softmax_w"].shape[0]
-    b = labels.shape[0]
-    g = -jnp.log(
-        -jnp.log(jax.random.uniform(key, (b, num_items), minval=1e-20, maxval=1.0))
-    )
-    g = jnp.where(
-        jnp.arange(num_items)[None, :] == labels[:, None], -jnp.inf, g
-    )
-    _, negs = jax.lax.top_k(g, num_sampled)  # [B, S]
-    cand = jnp.concatenate([labels[:, None], negs], axis=1)  # [B, 1+S]
+    negs = sample_negatives(key, labels, num_items, num_sampled)
+    cand = jnp.concatenate(
+        [labels[:, None].astype(negs.dtype), negs], axis=1
+    )  # [B, 1+S]
     w = params["softmax_w"][cand]  # [B, 1+S, E]
     bb = params["softmax_b"][cand]  # [B, 1+S]
     logits = jnp.einsum("be,bse->bs", user_vecs, w) + bb
@@ -205,14 +273,49 @@ def sampled_softmax_loss(
     return -jnp.mean(logp[:, 0])
 
 
+# full_softmax_loss materializes [B, num_items] logits; above this item
+# count the chunked logsumexp path is used (same exact result)
+_FULL_SOFTMAX_MAX = 1 << 18
+
+
 def full_softmax_loss(
     params: Params, user_vecs: jnp.ndarray, labels: jnp.ndarray
 ) -> jnp.ndarray:
-    """Exact softmax CE over all items (SampledSoftmaxLoss.fullEvaluate)."""
-    logits = user_vecs @ params["softmax_w"].T + params["softmax_b"]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
-    return -jnp.mean(picked)
+    """Exact softmax CE over all items (SampledSoftmaxLoss.fullEvaluate).
+
+    At deep catalogs the one-shot [B, num_items] logits tensor doesn't fit;
+    the chunked path streams the catalog through a lax.scan accumulating the
+    per-row logsumexp — mathematically identical, O(B * chunk) memory."""
+    w = params["softmax_w"]
+    bias = params["softmax_b"]
+    n = w.shape[0]
+    labels = labels.astype(jnp.int32)
+    if n <= _FULL_SOFTMAX_MAX:
+        logits = user_vecs @ w.T + bias
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        return -jnp.mean(picked)
+    chunk = _FULL_SOFTMAX_MAX >> 2
+    n_pad = -(-n // chunk) * chunk
+    w_pad = jnp.pad(w, ((0, n_pad - n), (0, 0)))
+    # pad lanes must not contribute to the normalizer
+    b_pad = jnp.pad(bias, (0, n_pad - n), constant_values=-jnp.inf)
+    w_chunks = w_pad.reshape(n_pad // chunk, chunk, -1)
+    b_chunks = b_pad.reshape(n_pad // chunk, chunk)
+
+    def body(lse, wb):
+        wc, bc = wb
+        logits = user_vecs @ wc.T + bc
+        return jnp.logaddexp(lse, jax.nn.logsumexp(logits, axis=-1)), None
+
+    b = user_vecs.shape[0]
+    lse, _ = jax.lax.scan(
+        body, jnp.full((b,), -jnp.inf), (w_chunks, b_chunks)
+    )
+    picked = (
+        jnp.einsum("be,be->b", user_vecs, w[labels]) + bias[labels]
+    )
+    return -jnp.mean(picked - lse)
 
 
 def rerank_scores(

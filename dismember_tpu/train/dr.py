@@ -69,6 +69,7 @@ class DRTrainer:
         seq_len: int = 10,
         seed: int = 0,
         path_index: PathIndex | None = None,
+        sparse_embed_update: bool | None = None,
     ):
         self.data = data
         self.num_layers = num_layers
@@ -92,13 +93,57 @@ class DRTrainer:
         self.rerank_params = dr_models.init_rerank_params(
             k2, data.num_items, seq_len, embed_size
         )
+        self.learning_rate = learning_rate
         self.layer_opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
         self.rerank_opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-        self.layer_opt_state = self.layer_opt.init(self.layer_params)
-        self.rerank_opt_state = self.rerank_opt.init(self.rerank_params)
+        # lazy row-sparse Adam on the item-scaled tables (train/sparse_adam.py)
+        # — auto-on at >=2^20 items, where dense Adam's O(table) HBM traffic
+        # dominates; dense (exact reference Adam semantics) below.
+        if sparse_embed_update is not None:
+            self._sparse = sparse_embed_update
+        else:
+            from dismember_tpu.train.sparse_adam import sparse_worthwhile
 
-        self._layer_step = jax.jit(self._layer_step_impl, donate_argnums=(0, 1))
-        self._rerank_step = jax.jit(self._rerank_step_impl, donate_argnums=(0, 1))
+            # layer step is the heavy table workload: per step it touches
+            # B*(L + J*(D-1)) rows of the (num_items + K*(D-1))-row table
+            touched = self.num_targets_per_batch * (
+                seq_len + num_paths_per_item * (num_layers - 1)
+            )
+            self._sparse = sparse_worthwhile(
+                data.num_items + num_nodes * (num_layers - 1), touched
+            )
+        if self._sparse:
+            from dismember_tpu.train import sparse_adam
+
+            self.layer_opt_state = (
+                self.layer_opt.init({"heads": self.layer_params["heads"]}),
+                sparse_adam.init_state(self.layer_params["embedding"]),
+            )
+            self.rerank_opt_state = (
+                self.rerank_opt.init(
+                    {
+                        "linear": self.rerank_params["linear"],
+                        "softmax_b": self.rerank_params["softmax_b"],
+                    }
+                ),
+                sparse_adam.init_state(self.rerank_params["embedding"]),
+                sparse_adam.init_state(self.rerank_params["softmax_w"]),
+            )
+            self._layer_step = jax.jit(
+                self._layer_step_sparse_impl, donate_argnums=(0, 1)
+            )
+            self._rerank_step = jax.jit(
+                self._rerank_step_sparse_impl, donate_argnums=(0, 1)
+            )
+        else:
+            self.layer_opt_state = self.layer_opt.init(self.layer_params)
+            self.rerank_opt_state = self.rerank_opt.init(self.rerank_params)
+            self._layer_step = jax.jit(
+                self._layer_step_impl, donate_argnums=(0, 1)
+            )
+            self._rerank_step = jax.jit(
+                self._rerank_step_impl, donate_argnums=(0, 1)
+            )
         self._layer_losses = jax.jit(self._layer_losses_impl)
         self._rerank_full_loss = jax.jit(
             lambda p, seqs, labels: dr_models.full_softmax_loss(
@@ -141,6 +186,109 @@ class DRTrainer:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = self.rerank_opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
+
+    # --- sparse (lazy row-Adam) variants for item-scaled tables ----------
+    def _layer_step_sparse_impl(self, params, opt_state, seqs, paths):
+        """Layer step with the shared embedding updated row-sparsely.
+
+        Same forward math / gradients as _layer_step_impl (duplicate row
+        grads are segment-summed like dense scatter-add autodiff); Adam on
+        the heads stays dense optax."""
+        from dismember_tpu.train import sparse_adam
+
+        heads_opt, emb_opt = opt_state
+        table = params["embedding"]
+        b, l = seqs.shape
+        j = paths.shape[1]
+        nd = self.num_layers - 1
+        # position i of any path prefix uses row num_items + i*K + node
+        offsets = self.data.num_items + jnp.arange(
+            max(nd, 1), dtype=paths.dtype
+        ) * self.num_nodes
+        prefix_ids = (paths[:, :, :nd] + offsets[:nd]).reshape(-1)
+        flat = jnp.concatenate([seqs.reshape(-1), prefix_ids])
+        valid = flat >= 0
+        rows = table[jnp.where(valid, flat, 0)]
+        rows = rows * valid[:, None].astype(rows.dtype)
+
+        def loss_fn(rows_in, heads_in):
+            seq_e = rows_in[: b * l].reshape(b, l, -1)
+            prefix_e = rows_in[b * l :].reshape(b, j, nd, -1)
+            logits = dr_models.layer_logits_from_emb(
+                heads_in["heads"], seq_e, prefix_e, self.num_nodes
+            )
+            losses = []
+            for d in range(self.num_layers):
+                lf = logits[d].reshape(-1, self.num_nodes)
+                losses.append(cross_entropy(lf, paths[:, :, d].reshape(-1)))
+            losses = jnp.stack(losses)
+            return jnp.sum(losses), losses
+
+        (_, losses), (g_rows, g_heads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, {"heads": params["heads"]})
+        updates, new_heads_opt = self.layer_opt.update(
+            g_heads, heads_opt, {"heads": params["heads"]}
+        )
+        new_heads = optax.apply_updates({"heads": params["heads"]}, updates)
+        g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+        new_table, new_emb_opt = sparse_adam.apply_rows(
+            table, emb_opt, flat, g_rows, self.learning_rate
+        )
+        new_params = {"embedding": new_table, "heads": new_heads["heads"]}
+        return new_params, (new_heads_opt, new_emb_opt), losses
+
+    def _rerank_step_sparse_impl(self, params, opt_state, key, seqs, labels):
+        """Rerank step with the item embedding and softmax weight tables
+        updated row-sparsely; linear + softmax bias stay dense optax (the
+        [num_items] bias is 4 bytes/row — dense Adam on it is cheap)."""
+        from dismember_tpu.train import sparse_adam
+
+        rest_opt, emb_opt, w_opt = opt_state
+        table = params["embedding"]
+        smw = params["softmax_w"]
+        rest = {"linear": params["linear"], "softmax_b": params["softmax_b"]}
+        b, l = seqs.shape
+        negs = dr_models.sample_negatives(
+            key, labels, smw.shape[0], self.num_sampled
+        )
+        cand = jnp.concatenate(
+            [labels[:, None].astype(negs.dtype), negs], axis=1
+        )  # [B, 1+S]
+        seq_flat = seqs.reshape(-1)
+        seq_valid = seq_flat >= 0
+        erows = table[jnp.where(seq_valid, seq_flat, 0)]
+        erows = erows * seq_valid[:, None].astype(erows.dtype)
+        wrows = smw[cand.reshape(-1)].reshape(b, cand.shape[1], -1)
+
+        def loss_fn(erows_in, wrows_in, rest_in):
+            flat = erows_in.reshape(b, -1)
+            vec = flat @ rest_in["linear"]["weight"].T + rest_in["linear"]["bias"]
+            bb = rest_in["softmax_b"][cand]
+            logits = jnp.einsum("be,bse->bs", vec, wrows_in) + bb
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(logp[:, 0])
+
+        loss, (g_e, g_w, g_rest) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2)
+        )(erows, wrows, rest)
+        updates, new_rest_opt = self.rerank_opt.update(g_rest, rest_opt, rest)
+        new_rest = optax.apply_updates(rest, updates)
+        g_e = g_e * seq_valid[:, None].astype(g_e.dtype)
+        new_table, new_emb_opt = sparse_adam.apply_rows(
+            table, emb_opt, seq_flat, g_e, self.learning_rate
+        )
+        new_w, new_w_opt = sparse_adam.apply_rows(
+            smw, w_opt, cand.reshape(-1), g_w.reshape(-1, g_w.shape[-1]),
+            self.learning_rate,
+        )
+        new_params = {
+            "embedding": new_table,
+            "linear": new_rest["linear"],
+            "softmax_w": new_w,
+            "softmax_b": new_rest["softmax_b"],
+        }
+        return new_params, (new_rest_opt, new_emb_opt, new_w_opt), loss
 
     # ------------------------------------------------------------------
     def train(

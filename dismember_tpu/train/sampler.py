@@ -29,6 +29,26 @@ from dismember_tpu.index.arraytree import ArrayTree
 _NEG_INF = -1e30
 
 
+def pack_exists_rows(node_exists: np.ndarray) -> jnp.ndarray:
+    """node_exists [N] bool -> [ceil(N/128), 128] f32 rows.
+
+    Gathering single elements from the 1-D bool array makes XLA relayout
+    (whole-copy) it inside every train step — 1.59 ms/step at a 33.5M-code
+    tree (xplane-measured).  The 128-lane packed rows follow the CLAUDE.md
+    metadata rule: 2-D row gather + one-hot lane select."""
+    n = len(node_exists)
+    pad = (-n) % 128
+    flat = np.pad(np.asarray(node_exists, np.float32), (0, pad))
+    return jnp.asarray(flat.reshape(-1, 128))
+
+
+def exists_lookup(exists_rows: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Existence bits for int32 codes of any shape, via 2-D row gather."""
+    rows = exists_rows[codes >> 7]  # [..., 128]
+    onehot = (codes & 127)[..., None] == jnp.arange(128, dtype=jnp.int32)
+    return jnp.einsum("...l,...l->...", rows, onehot.astype(rows.dtype)) > 0
+
+
 def parse_layer_neg_counts(layer_neg_counts: str, max_level: int) -> list[int]:
     """Parse the ``layer_negative_counts`` config string.
 
@@ -71,7 +91,9 @@ class TreeSampler:
     level_tables: list[jnp.ndarray | None]  # per level: candidate codes [n_l]
     level_logits: list[jnp.ndarray | None]  # per level: base logits [n_l]
     level_exact: list[bool]
-    node_exists: jnp.ndarray  # [total_codes] bool
+    exists_rows: jnp.ndarray  # [ceil(total_codes/128), 128] f32 packed
+    # existence bits (pack_exists_rows) — 1-D bool gathers relayout-copy the
+    # whole array per step
     # static per-unit-position labels (1 for positives)
     unit_labels: np.ndarray  # [unit] float32
     oversample: int = 2
@@ -125,12 +147,12 @@ class TreeSampler:
             level_tables=level_tables,
             level_logits=level_logits,
             level_exact=level_exact,
-            node_exists=jnp.asarray(tree.node_exists),
+            exists_rows=pack_exists_rows(tree.node_exists),
             unit_labels=np.asarray(labels, dtype=np.float32),
             tolerance=tolerance,
         )
 
-    def _sample_rejection(self, key, pos, level, neg, node_exists=None):
+    def _sample_rejection(self, key, pos, level, neg, exists_rows=None):
         """Oversampled uniform draws + validity/dup masking; [B, neg].
 
         Tolerance semantics (NegativeSampler.scala:116-144): the reference
@@ -143,13 +165,13 @@ class TreeSampler:
         zero-weighted only if even relaxed draws ran out, which for a
         leaf-sunk tree (level occupancy > 1/2) has negligible probability.
         """
-        if node_exists is None:
-            node_exists = self.node_exists
+        if exists_rows is None:
+            exists_rows = self.exists_rows
         b = pos.shape[0]
         m = self.oversample * neg + self.tolerance + 8
         lo, hi = (1 << level) - 1, (1 << (level + 1)) - 1
         cand = jax.random.randint(key, (b, m), lo, hi, dtype=jnp.int32)
-        exists = node_exists[cand]
+        exists = exists_lookup(exists_rows, cand)
         not_pos = cand != pos[:, None]
         # first-occurrence mask within the row (O(m^2) compare; m is small)
         eq = cand[:, :, None] == cand[:, None, :]
@@ -175,7 +197,7 @@ class TreeSampler:
         return {
             "tables": tuple(t for t in self.level_tables if t is not None),
             "logits": tuple(l for l in self.level_logits if l is not None),
-            "node_exists": self.node_exists,
+            "exists_rows": self.exists_rows,
         }
 
     def sample(
@@ -202,11 +224,11 @@ class TreeSampler:
             level_logits = [
                 next(logits_it) if l is not None else None for l in self.level_logits
             ]
-            node_exists = state["node_exists"]
+            exists_rows = state["exists_rows"]
         else:
             level_tables = self.level_tables
             level_logits = self.level_logits
-            node_exists = self.node_exists
+            exists_rows = self.exists_rows
         b = target_codes.shape[0]
         parts_codes: list[jnp.ndarray] = []
         parts_weights: list[jnp.ndarray] = []
@@ -239,7 +261,7 @@ class TreeSampler:
                 parts_weights.append(ok.astype(jnp.float32))
             else:
                 codes, ok = self._sample_rejection(
-                    keys[i], pos, level, neg, node_exists
+                    keys[i], pos, level, neg, exists_rows
                 )
                 parts_codes.append(codes)
                 parts_weights.append(ok)

@@ -30,6 +30,31 @@ import jax
 import jax.numpy as jnp
 
 
+# Measured v5e cost model (scripts/bench_scatter_width.py, BASELINE.md):
+# TPU scatter costs ~100ns per updated row at every width (flags and
+# unique/sorted hints don't move it; Pallas per-row DMA can't beat it —
+# Mosaic requires 128-lane-aligned HBM slices, scripts/spike_pallas_scatter).
+# The sparse step does 3 scatters + sort/segment apparatus ≈ 350ns per
+# touched row; the dense step reads/writes params, both moments and the
+# dense gradient ≈ 0.8ns per table row at HBM bandwidth.
+_SPARSE_NS_PER_TOUCHED_ROW = 350.0
+_DENSE_NS_PER_TABLE_ROW = 0.8
+
+
+def sparse_worthwhile(table_rows: int, touched_rows_per_step: int) -> bool:
+    """Cost-model decision for the auto mode: lazy sparse Adam wins when the
+    per-step scatter bill undercuts dense Adam's O(table) HBM traffic.
+
+    Verified against xplane device timings at 10M items: TDM (8.4k touched
+    rows / 33.5M-row table) sparse wins 28.6 -> 5.05 ms; DR's layer step at
+    batch 4096 (57k touched / 10M-row table) dense wins.
+    """
+    return (
+        touched_rows_per_step * _SPARSE_NS_PER_TOUCHED_ROW
+        < table_rows * _DENSE_NS_PER_TABLE_ROW
+    )
+
+
 def init_state(table: jnp.ndarray, mu_dtype=jnp.float32) -> dict:
     """Adam moment tables + step count for one embedding table.
 

@@ -143,14 +143,17 @@ class TDMTrainer:
                 "sparse_embed_update is a single-chip path; the SPMD step "
                 "keeps dense Adam over the row-sharded table"
             )
-        self._sparse = (
-            self.sparse_embed_update
-            if self.sparse_embed_update is not None
-            else (
-                self.mesh is None
-                and self.params["embedding"].shape[0] >= (1 << 20)
+        if self.sparse_embed_update is not None:
+            self._sparse = self.sparse_embed_update
+        else:
+            from dismember_tpu.train.sparse_adam import sparse_worthwhile
+
+            touched = self.num_targets_per_batch * (
+                self.sampler.unit + self.seq_len
             )
-        )
+            self._sparse = self.mesh is None and sparse_worthwhile(
+                int(self.params["embedding"].shape[0]), touched
+            )
         if self._sparse:
             from dismember_tpu.train import sparse_adam
 

@@ -187,3 +187,83 @@ def test_rerank_early_stop(dr_data):
     assert np.isnan(tr.train_loss_log[1]["rerank_loss"])
     assert not np.isnan(tr.train_loss_log[0]["rerank_loss"])
     assert not np.array_equal(before, np.asarray(tr.rerank_params["embedding"]))
+
+
+def test_dr_sparse_steps_match_dense(dr_data):
+    """Sparse (lazy row-Adam) layer/rerank steps match the dense steps on
+    touched rows: identical batches every step -> identical params/losses
+    within fp noise (train/sparse_adam.py; same argument as the TDM test)."""
+    kwargs = dict(
+        data=dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2,
+        embed_size=8, learning_rate=3e-3, seed=5, num_sampled=2,
+    )
+    dense = DRTrainer(sparse_embed_update=False, **kwargs)
+    sparse = DRTrainer(sparse_embed_update=True, **kwargs)
+    assert sparse._sparse and not dense._sparse
+
+    d = dr_data
+    idx = np.arange(64)
+    seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
+    targets = d.train_targets[idx]
+    paths = jnp.asarray(dense.path_index.item_paths[targets], jnp.int32)
+    labels = jnp.asarray(targets, jnp.int32)
+    key = jax.random.PRNGKey(11)
+    for step in range(3):
+        dense.layer_params, dense.layer_opt_state, l_d = dense._layer_step(
+            dense.layer_params, dense.layer_opt_state, seqs, paths)
+        sparse.layer_params, sparse.layer_opt_state, l_s = sparse._layer_step(
+            sparse.layer_params, sparse.layer_opt_state, seqs, paths)
+        np.testing.assert_allclose(
+            np.asarray(l_d), np.asarray(l_s), rtol=1e-5,
+            err_msg=f"layer losses diverged at step {step}")
+        dense.rerank_params, dense.rerank_opt_state, r_d = dense._rerank_step(
+            dense.rerank_params, dense.rerank_opt_state, key, seqs, labels)
+        sparse.rerank_params, sparse.rerank_opt_state, r_s = (
+            sparse._rerank_step(
+                sparse.rerank_params, sparse.rerank_opt_state, key, seqs,
+                labels))
+        np.testing.assert_allclose(
+            float(r_d), float(r_s), rtol=1e-5,
+            err_msg=f"rerank loss diverged at step {step}")
+    np.testing.assert_allclose(
+        np.asarray(dense.layer_params["embedding"]),
+        np.asarray(sparse.layer_params["embedding"]),
+        rtol=2e-4, atol=2e-6)
+    for k in ("embedding", "softmax_w", "softmax_b"):
+        np.testing.assert_allclose(
+            np.asarray(dense.rerank_params[k]),
+            np.asarray(sparse.rerank_params[k]),
+            rtol=2e-4, atol=2e-6, err_msg=f"rerank {k} diverged")
+
+
+def test_sample_negatives_rejection_path():
+    """Above the exact-Gumbel threshold the rejection sampler still returns
+    in-range, label-excluding, duplicate-free negatives."""
+    key = jax.random.PRNGKey(0)
+    n = (1 << 18) + 5
+    labels = jnp.asarray(np.arange(32) * 1000, jnp.int32)
+    negs = np.asarray(dr_models.sample_negatives(key, labels, n, 8))
+    assert negs.shape == (32, 8)
+    assert (negs >= 0).all() and (negs < n).all()
+    for i in range(32):
+        row = negs[i].tolist()
+        assert len(set(row)) == len(row)
+        assert int(labels[i]) not in row
+
+
+def test_full_softmax_loss_chunked_matches(monkeypatch):
+    """Chunked logsumexp full-softmax (deep catalogs) equals the one-shot."""
+    import dismember_tpu.models.dr_models as dm
+
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "softmax_w": jax.random.normal(k1, (1000, 8)),
+        "softmax_b": jax.random.normal(k2, (1000,)) * 0.1,
+    }
+    vecs = jax.random.normal(k3, (17, 8))
+    labels = jnp.asarray(np.arange(17) * 7, jnp.int32)
+    one = float(dm.full_softmax_loss(params, vecs, labels))
+    monkeypatch.setattr(dm, "_FULL_SOFTMAX_MAX", 128)
+    chunked = float(dm.full_softmax_loss(params, vecs, labels))
+    np.testing.assert_allclose(chunked, one, rtol=1e-6)

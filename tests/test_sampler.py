@@ -131,8 +131,10 @@ def test_rejection_sampler_million_leaf_level():
     node_exists = np.zeros(hi, dtype=bool)
     node_exists[bottom] = True
 
+    from dismember_tpu.train.sampler import pack_exists_rows
+
     sampler = types.SimpleNamespace(
-        oversample=2, tolerance=20, node_exists=jnp.asarray(node_exists)
+        oversample=2, tolerance=20, exists_rows=pack_exists_rows(node_exists)
     )
     neg = 200
     pos = jnp.asarray(bottom[rng.integers(0, n_items, size=64)].astype(np.int32))
@@ -162,8 +164,10 @@ def test_rejection_sampler_sparse_level_zero_weights():
     node_exists = np.zeros(hi, dtype=bool)
     node_exists[bottom] = True
 
+    from dismember_tpu.train.sampler import pack_exists_rows
+
     sampler = types.SimpleNamespace(
-        oversample=2, tolerance=20, node_exists=jnp.asarray(node_exists)
+        oversample=2, tolerance=20, exists_rows=pack_exists_rows(node_exists)
     )
     neg = 50
     pos = jnp.asarray(bottom[:8].astype(np.int32))

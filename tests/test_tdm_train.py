@@ -215,3 +215,25 @@ def test_sparse_auto_resolution(pipeline):
     tree, _ = pipeline
     t = TDMTrainer(tree=tree, embed_size=8, layer_neg_counts=NEG_COUNTS)
     assert not t._sparse  # movielens catalog is far below 2^20 rows
+
+
+def test_sparse_with_bf16_table(pipeline):
+    """sparse_embed_update composes with bf16 embedding storage: moments
+    stay f32, row updates are cast to the table dtype (as dense optax does),
+    training still reduces the loss."""
+    import jax.numpy as jnp
+
+    tree, samples = pipeline
+    trainer = TDMTrainer(
+        tree=tree, model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=512, layer_neg_counts=NEG_COUNTS, seed=3,
+        sparse_embed_update=True, embed_dtype=jnp.bfloat16,
+    )
+    assert trainer.params["embedding"].dtype == jnp.bfloat16
+    assert trainer.opt_state[1]["m"].dtype == jnp.float32
+    logs = trainer.train(
+        samples.train_seqs, samples.train_targets, iterations=40,
+        progress_interval=20,
+    )
+    assert trainer.params["embedding"].dtype == jnp.bfloat16
+    assert logs[-1]["train_loss"] < logs[0]["train_loss"]
