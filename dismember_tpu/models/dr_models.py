@@ -155,10 +155,17 @@ def layer_forward_beam(
     bias = params["heads"][d]["bias"]
     if d == 0:
         return seq_part_d[:, None, :] + bias
-    offsets = num_items + jnp.arange(d, dtype=prefix.dtype) * num_nodes
+    # prefix embeddings all live in the node region (rows >= num_items, only
+    # K*(D-1) of them) — gather from that slice so the gather works over a
+    # cache-resident table instead of the whole item-scaled one (6.2ms ->
+    # sub-ms per serve batch at 10M items, xplane)
+    node_table = table[num_items:]
+    offsets = jnp.arange(d, dtype=prefix.dtype) * num_nodes
     prefix_ids = prefix + offsets
     bsz, w_beam = prefix.shape[:2]
-    prefix_flat = embed_lookup(table, prefix_ids).reshape(bsz, w_beam, d * e)
+    prefix_flat = embed_lookup(node_table, prefix_ids).reshape(
+        bsz, w_beam, d * e
+    )
     w = params["heads"][d]["weight"]
     l_e = w.shape[1] - d * e
     w_pre = w[:, l_e:]

@@ -70,3 +70,23 @@ def test_device_serving_consumed_filter(trained):
     )
     out_ids = np.asarray(out_ids)
     assert base_ids[0, 0] not in out_ids[0]
+
+
+def test_packed_rerank_serving_matches_exact(trained, monkeypatch):
+    """Deep-catalog packed bf16 [w|bias] serving table: same ids as the exact
+    f32 gather path (bf16 rounds the weights like the MXU rounds matmul
+    operands; only near-ties could reorder — scores checked to bf16 tol)."""
+    import dismember_tpu.retrieval.dr_serve as ds
+
+    tr = trained
+    seqs = jnp.asarray(tr.data.eval_seqs[:32], jnp.int32)
+    exact_fn = make_dr_serving_fn(tr, topk=5)
+    ids_e, sc_e = exact_fn(tr.layer_params, tr.rerank_params, seqs)
+    monkeypatch.setattr(ds, "_PACKED_RERANK_MIN_ITEMS", 1)
+    packed_fn = make_dr_serving_fn(tr, topk=5)
+    ids_p, sc_p = packed_fn(tr.layer_params, tr.rerank_params, seqs)
+    ids_e, sc_e, ids_p, sc_p = map(np.asarray, (ids_e, sc_e, ids_p, sc_p))
+    same = (ids_e == ids_p).mean()
+    assert same > 0.9, f"packed ids diverged too much: {same}"
+    alive = (ids_e >= 0) & (ids_e == ids_p)
+    np.testing.assert_allclose(sc_p[alive], sc_e[alive], rtol=2e-2, atol=2e-2)
