@@ -199,23 +199,47 @@ class GenericTreeLearner:
             weights = self.compute_weights(proj, old_level, level)
             old_codes = self._old_ancestors_at_level(level)
             max_assign = 1 << (max_level - level)
+            n_cand = 1 << d
 
-            new_proj = proj.copy()
-            for node in np.unique(proj):
-                node_items = np.flatnonzero(proj == node)
-                n_cand = 1 << d
-                candidates = node * n_cand + (n_cand - 1) + np.arange(n_cand)
-                balanced = self.rebalance(
-                    node_items,
-                    candidates,
-                    weights[node_items],
-                    old_codes,
-                    max_assign,
+            # vectorized fast path: every item takes its argmax candidate
+            # (== rebalance's first greedy pick — stable-descending order[.,0]);
+            # the sequential greedy only ever changes assignments under a
+            # child node that exceeded capacity, so only parent segments
+            # containing an over-capacity child need it.  This replaces the
+            # old O(N * #occupied-nodes) host scan (flatnonzero per node) —
+            # at catalog scale (1M items, level 18: 260k nodes) that scan
+            # alone was hours of host time.
+            choice = proj * n_cand + (n_cand - 1) + np.argmax(weights, axis=1)
+            uniq_child, counts = np.unique(choice, return_counts=True)
+            over_children = uniq_child[counts > max_assign]
+            over_parents = np.unique((over_children - (n_cand - 1)) // n_cand)
+
+            new_proj = choice
+            if len(over_parents):
+                new_proj = choice.copy()
+                order_items = np.argsort(proj, kind="stable")
+                sorted_proj = proj[order_items]
+                seg_starts = np.flatnonzero(
+                    np.concatenate([[True], sorted_proj[1:] != sorted_proj[:-1]])
                 )
-                for child, positions in balanced.items():
-                    assert len(positions) <= max_assign
-                    for pos in positions:
-                        new_proj[pos] = child
+                seg_ends = np.append(seg_starts[1:], len(sorted_proj))
+                seg_nodes = sorted_proj[seg_starts]
+                need = np.isin(seg_nodes, over_parents)
+                for s0, e0 in zip(seg_starts[need], seg_ends[need]):
+                    node = int(sorted_proj[s0])
+                    node_items = order_items[s0:e0]
+                    candidates = node * n_cand + (n_cand - 1) + np.arange(n_cand)
+                    balanced = self.rebalance(
+                        node_items,
+                        candidates,
+                        weights[node_items],
+                        old_codes,
+                        max_assign,
+                    )
+                    for child, positions in balanced.items():
+                        assert len(positions) <= max_assign
+                        for pos in positions:
+                            new_proj[pos] = child
             proj = new_proj
             logger.info(
                 f"level {level} assign time: {time.perf_counter() - t0:.3f}s"

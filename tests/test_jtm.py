@@ -137,3 +137,64 @@ def test_hierarchical_below_min_level_uses_leaves(setup):
     )
     codes = learner._seq_codes_at_level(3)  # 3 < min_level -> leaf codes
     np.testing.assert_array_equal(codes, learner.rows_codes)
+
+
+def test_fastpath_matches_full_greedy():
+    """optimize()'s vectorized argmax fast path + overflow-only greedy must
+    equal running the greedy rebalance over EVERY occupied node (the pre-
+    optimization behavior), on a synthetic instance with mixed overflow and
+    no-overflow segments."""
+    from dismember_tpu.train.jtm import GenericTreeLearner
+
+    rng = np.random.default_rng(5)
+    n_items, max_level, gap = 97, 7, 2
+
+    class StubLearner(GenericTreeLearner):
+        def __post_init__(self):
+            self._rng = np.random.default_rng(7)
+
+        def compute_weights(self, proj, old_level, level):
+            d = level - old_level
+            # deterministic pseudo-random weights keyed by (item, cand slot);
+            # coarse quantization forces plenty of exact ties + collisions
+            return self._rng.integers(
+                0, 4, size=(n_items, 1 << d)
+            ).astype(np.float64)
+
+    def run():
+        return StubLearner(
+            params={}, forward=None, max_level=max_level,
+            items=np.arange(n_items), item_old_codes=leaf_codes,
+            rows_codes=np.zeros((0, 4), np.int64),
+            row_item_pos=np.zeros(0, np.int64), gap=gap,
+        )
+
+    leaf_codes = (1 << max_level) - 1 + rng.permutation(n_items)
+
+    fast = run().optimize()
+
+    # reference: force the greedy path for every segment by monkey-running
+    # the same sweep with the old all-nodes loop
+    learner = run()
+    proj = np.zeros(n_items, dtype=np.int64)
+    for old_level in range(0, max_level, gap):
+        level = min(max_level, old_level + gap)
+        d = level - old_level
+        weights = learner.compute_weights(proj, old_level, level)
+        old_codes = learner._old_ancestors_at_level(level)
+        max_assign = 1 << (max_level - level)
+        new_proj = proj.copy()
+        for node in np.unique(proj):
+            node_items = np.flatnonzero(proj == node)
+            n_cand = 1 << d
+            candidates = node * n_cand + (n_cand - 1) + np.arange(n_cand)
+            balanced = learner.rebalance(
+                node_items, candidates, weights[node_items], old_codes,
+                max_assign,
+            )
+            for child, positions in balanced.items():
+                for pos in positions:
+                    new_proj[pos] = child
+        proj = new_proj
+    slow = {int(learner.items[i]): int(proj[i]) for i in range(n_items)}
+    assert fast == slow
