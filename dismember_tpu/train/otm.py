@@ -89,12 +89,22 @@ class OTMTrainer:
         target_mode: str = "pseudo",
         seed: int = 42,
         precision: str = "f32",
+        sparse_embed_update: bool | None = None,
     ):
         """``precision="f64"`` reproduces the reference's Double-precision OTM
         (otm/.../optim/LocalOptimizer.scala:18 — NumericDouble throughout):
         params, pseudo-target scores, losses and Adam state all run float64
         (via a thread-local ``jax.enable_x64`` scope, so the rest
-        of the process stays f32).  Default f32 is the TPU-native dtype."""
+        of the process stays f32).  Default f32 is the TPU-native dtype.
+
+        ``sparse_embed_update``: lazy row-sparse Adam on the node embedding
+        table inside the per-level scan (train/sparse_adam.py).  OTM is the
+        worst dense-Adam case of the four algorithms: each *batch* pays
+        n_levels sequential optimizer steps, each O(table) HBM traffic —
+        ~24 full table+moment rewrites per batch at a 10M-item catalog.
+        None = auto by the measured cost model
+        (:func:`~dismember_tpu.train.sparse_adam.sparse_worthwhile`);
+        unavailable in f64 parity mode (moments are kept f32)."""
         if precision not in ("f32", "f64"):
             raise ValueError(f"precision must be f32 or f64, got {precision!r}")
         self._x64 = precision == "f64"
@@ -102,6 +112,7 @@ class OTMTrainer:
         self.data = data
         self.model_type = model_type
         self.embed_size = embed_size
+        self.learning_rate = learning_rate
         self.beam = beam_size
         self.topk = topk
         self.seq_len = seq_len
@@ -127,10 +138,35 @@ class OTMTrainer:
             self.forward = deepfm.forward
         else:
             raise ValueError(f"unknown deep model: {model_type}")
+        if sparse_embed_update and self._x64:
+            raise ValueError(
+                "sparse_embed_update keeps f32 moments; it is not available "
+                "in the f64 parity mode"
+            )
+        if sparse_embed_update is not None:
+            self._sparse = sparse_embed_update
+        else:
+            from dismember_tpu.train.sparse_adam import sparse_worthwhile
+
+            touched = self.train_batch_size * (2 * beam_size + seq_len)
+            self._sparse = not self._x64 and sparse_worthwhile(
+                num_index, touched
+            )
         with self._ctx():
             self.params = jax.tree.map(lambda x: x.astype(self.dtype), params)
             self.optimizer = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-            self.opt_state = self.optimizer.init(self.params)
+            if self._sparse:
+                from dismember_tpu.train import sparse_adam
+
+                rest = {
+                    k: v for k, v in self.params.items() if k != "embedding"
+                }
+                self.opt_state = (
+                    self.optimizer.init(rest),
+                    sparse_adam.init_state(self.params["embedding"]),
+                )
+            else:
+                self.opt_state = self.optimizer.init(self.params)
 
         self._beam_traj = jax.jit(self._beam_trajectory)
         self._pseudo = jax.jit(self._pseudo_targets)
@@ -235,6 +271,65 @@ class OTMTrainer:
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, loss
 
+    def _sparse_level_step(self, params, opt_state, nodes, t_ids, t_labels, seqs):
+        """One BCE level step with lazy row-sparse Adam on the embedding.
+
+        Same math as :meth:`_level_step_impl` (labels from the target-set
+        match, weights mask the -1 beam pads) but the gradient is taken
+        w.r.t. the *gathered* embedding rows (beam nodes + sequence codes)
+        and only those rows get an Adam update — per-level HBM traffic drops
+        from O(table) to O(B·(2·beam + L)·E).  Dense Adam on the MLP params.
+        """
+        from dismember_tpu.constants import PADDING_IDX
+        from dismember_tpu.models import deepfm as _deepfm, din as _din
+        from dismember_tpu.train import sparse_adam
+
+        mod = {"din": _din, "deepfm": _deepfm}[self.model_type]
+        rest_opt, emb_opt = opt_state
+        table = params["embedding"]
+        rest = {k: v for k, v in params.items() if k != "embedding"}
+
+        valid_nodes = nodes >= 0
+        eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
+        labels = jnp.clip(
+            jnp.einsum("bwj,bj->bw", eq.astype(self.dtype), t_labels), 0.0, 1.0
+        )
+        weights = valid_nodes.astype(self.dtype)
+
+        b, w = nodes.shape
+        l = seqs.shape[1]
+        flat = jnp.concatenate(
+            [
+                jnp.where(valid_nodes, nodes, PADDING_IDX).reshape(-1),
+                seqs.reshape(-1),
+            ]
+        )
+        valid = flat != PADDING_IDX
+        rows = table[jnp.where(valid, flat, 0)]
+        rows = rows * valid[:, None].astype(rows.dtype)
+        pad = (seqs == PADDING_IDX)[:, None, :]
+        dummy = jax.lax.stop_gradient(table[:1])
+
+        def loss_fn(rows_in, rest_in):
+            p = dict(rest_in, embedding=dummy)
+            item_e = rows_in[: b * w].reshape(b, w, -1)
+            seq_e = rows_in[b * w :].reshape(b, l, -1)
+            ctx = mod.ctx_from_seq_emb(p, seq_e, pad)
+            logits = mod.apply_from_emb(p, item_e, ctx)
+            return bce_with_logits(logits, labels, weights)
+
+        loss, (g_rows, g_rest) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rows, rest
+        )
+        updates, new_rest_opt = self.optimizer.update(g_rest, rest_opt, rest)
+        new_rest = optax.apply_updates(rest, updates)
+        g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+        new_table, new_emb_opt = sparse_adam.apply_rows(
+            table, emb_opt, flat, g_rows, self.learning_rate
+        )
+        new_params = dict(new_rest, embedding=new_table)
+        return new_params, (new_rest_opt, new_emb_opt), loss
+
     def _train_batch_impl(self, params, opt_state, seqs, targets):
         """One whole OTM batch in a single dispatch: pseudo/normal targets +
         frozen-model beam trajectory (both with the pre-update parameters,
@@ -245,11 +340,12 @@ class OTMTrainer:
         else:
             t_ids, t_labels = self._normal_targets(targets)
         nodes, _scores = self._beam_trajectory(params, seqs)
+        step = self._sparse_level_step if self._sparse else self._level_step_impl
 
         def level_step(carry, x):
             p, o = carry
             nodes_l, tid_l, tlab_l = x
-            p, o, loss = self._level_step_impl(p, o, nodes_l, tid_l, tlab_l, seqs)
+            p, o, loss = step(p, o, nodes_l, tid_l, tlab_l, seqs)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(

@@ -210,3 +210,64 @@ def test_one_user_sample_keeps_full_labels(small_csv):
     assert tr.label_num == 3
     logs = tr.train(num_epochs=1)
     assert np.isfinite(logs[-1]["level_losses"]).all()
+
+
+def test_sparse_level_steps_match_dense(tiny_otm):
+    """Lazy row-sparse Adam inside the per-level scan
+    (sparse_embed_update=True) vs the dense scan.  First batch: exact match
+    (every row enters each level step with the same moments in both modes).
+    Later batches: lazy semantics legitimately diverge — dense Adam nudges a
+    node row along stale momentum at every one of the ~n_levels level steps
+    between two touches, lazy leaves it in place (train/sparse_adam.py
+    docstring) — so only closeness and loss improvement are asserted."""
+    d = tiny_otm
+    kwargs = dict(
+        embed_size=8, learning_rate=3e-3, total_train_batch_size=256,
+        beam_size=4, target_mode="pseudo", seed=11,
+    )
+    dense = OTMTrainer(d, sparse_embed_update=False, **kwargs)
+    sparse = OTMTrainer(d, sparse_embed_update=True, **kwargs)
+    assert sparse._sparse and not dense._sparse
+    seqs = jnp.asarray(d.train_seqs[: dense.train_batch_size], jnp.int32)
+    targets = jnp.asarray(d.train_labels[: dense.train_batch_size], jnp.int32)
+    first_d = first_s = None
+    for step in range(3):
+        dense.params, dense.opt_state, loss_d = dense._train_batch(
+            dense.params, dense.opt_state, seqs, targets
+        )
+        sparse.params, sparse.opt_state, loss_s = sparse._train_batch(
+            sparse.params, sparse.opt_state, seqs, targets
+        )
+        rtol = 1e-4 if step == 0 else 5e-3
+        np.testing.assert_allclose(
+            np.asarray(loss_d), np.asarray(loss_s), rtol=rtol,
+            err_msg=f"level losses diverged at batch {step}",
+        )
+        if step == 0:
+            first_d = np.asarray(loss_d)
+            first_s = np.asarray(loss_s)
+    # both modes actually learn on the repeated batch
+    assert float(np.asarray(loss_d)[-1]) < float(first_d[-1])
+    assert float(np.asarray(loss_s)[-1]) < float(first_s[-1])
+    # drift bound: a row misses at most (n_levels-1) momentum nudges per
+    # batch, each |step| <= lr, so 3 batches stay well under 3*n_levels*lr
+    # (row Adam math itself is exactness-tested in TDM's
+    # test_sparse_step_matches_dense — same sparse_adam.apply_rows)
+    for k in dense.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(dense.params[k])[0]),
+            np.asarray(jax.tree.leaves(sparse.params[k])[0]),
+            atol=3 * dense.n_levels * 3e-3, err_msg=f"param {k} drifted",
+        )
+
+
+def test_sparse_auto_and_f64_guard(tiny_otm):
+    """Auto mode stays dense at toy scale; explicit sparse + f64 is refused
+    (sparse moments are f32-only)."""
+    tr = OTMTrainer(tiny_otm, embed_size=8, beam_size=4)
+    assert not tr._sparse
+    with pytest.raises(ValueError, match="f64"):
+        OTMTrainer(
+            tiny_otm, embed_size=8, beam_size=4, precision="f64",
+            sparse_embed_update=True,
+        )
