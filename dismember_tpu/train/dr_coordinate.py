@@ -13,9 +13,15 @@ Parity with deep-retrieval/.../optim/CoordinateDescent.scala:12-219:
   t > 1 the item's previous paths release their size first;
 - items that never occur as a target get J random paths.
 
-TPU-first: the expensive part — beam search over the whole training set — is
-the batched ``path_beam_search`` jit; aggregation and the greedy selection
-are host dict loops (inherently sequential, tiny).
+TPU-first + catalog scale: the expensive part — beam search over the whole
+training set — is the batched ``path_beam_search`` jit.  Batch-mode
+aggregation is vectorized host numpy (composite base-K int64 path keys,
+lexsort + segment sums, per-item top-C by rank) instead of per-sample dict
+loops; the greedy selection stays an item-sequential loop over small numpy
+vectors because the path-size penalty couples items in order (the reference
+iterates items sequentially too, CoordinateDescent.scala:50-83).  Streaming
+mode keeps the reference's per-batch dict merge (its decay semantics are
+inherently per-batch-sequential) and feeds the same array greedy.
 """
 
 from __future__ import annotations
@@ -34,6 +40,24 @@ def _penalty(path_size: int, poly_order: int) -> float:
     return f(path_size + 1) - f(path_size)
 
 
+def _path_keys(paths: np.ndarray, num_nodes: int) -> np.ndarray:
+    """[..., D] digit paths -> composite base-K int64 keys."""
+    keys = np.zeros(paths.shape[:-1], np.int64)
+    for d in range(paths.shape[-1]):
+        keys = keys * num_nodes + paths[..., d]
+    return keys
+
+
+def _keys_to_paths(keys: np.ndarray, num_nodes: int, num_layers: int) -> np.ndarray:
+    """Composite keys -> [..., D] digit paths (inverse of _path_keys)."""
+    out = np.zeros(keys.shape + (num_layers,), np.int32)
+    rem = keys.copy()
+    for d in range(num_layers - 1, -1, -1):
+        out[..., d] = rem % num_nodes
+        rem //= num_nodes
+    return out
+
+
 def collect_path_scores(
     trainer,
     train_seqs: np.ndarray,
@@ -44,7 +68,8 @@ def collect_path_scores(
     decay_factor: float = 0.999,
 ) -> dict[int, list[tuple[tuple, float]]]:
     """item -> top candidate (path, score) list via beam search over the
-    training data (batchPathScore / streamingPathScore)."""
+    training data (batchPathScore / streamingPathScore).  Streaming mode
+    only — batch mode goes through :func:`_collect_batch_arrays`."""
     scores: dict[int, dict[tuple, float]] = {}
     n = len(train_seqs)
     old_beam = trainer.beam
@@ -88,6 +113,82 @@ def collect_path_scores(
     return out
 
 
+def _collect_batch_arrays(
+    trainer,
+    train_seqs: np.ndarray,
+    train_targets: np.ndarray,
+    num_candidate_path: int,
+    batch_size: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized batch-mode aggregation (batchPathScore).
+
+    Returns (items_u [I] item ids sorted asc, cand_keys [I, C] composite
+    path keys, cand_scores [I, C]) — candidates per item sorted by summed
+    score desc, padded with key -1 / score -inf.
+    """
+    k, d = trainer.num_nodes, trainer.num_layers
+    assert float(k) ** d < 2**62, "path key overflows int64"
+    c = num_candidate_path
+    n = len(train_seqs)
+    old_beam = trainer.beam
+    items_acc, keys_acc, sc_acc = [], [], []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        trainer.beam = c
+        paths, probs = trainer.beam_search_paths(train_seqs[s:e])
+        trainer.beam = old_beam
+        keys = _path_keys(np.asarray(paths, np.int64), k)  # [b, C]
+        items_acc.append(
+            np.repeat(np.asarray(train_targets[s:e], np.int64), keys.shape[1])
+        )
+        keys_acc.append(keys.ravel())
+        sc_acc.append(np.asarray(probs, np.float64).ravel())
+    items = np.concatenate(items_acc)
+    keys = np.concatenate(keys_acc)
+    sc = np.concatenate(sc_acc)
+
+    # group-sum scores by (item, path key)
+    order = np.lexsort((keys, items))
+    items, keys, sc = items[order], keys[order], sc[order]
+    new = np.concatenate(
+        [[True], (items[1:] != items[:-1]) | (keys[1:] != keys[:-1])]
+    )
+    seg = np.cumsum(new) - 1
+    sums = np.bincount(seg, weights=sc)
+    g_items, g_keys = items[new], keys[new]
+
+    # per item: top-C by summed score desc (stable — ties keep key order)
+    order2 = np.lexsort((-sums, g_items))
+    gi, gk, gs = g_items[order2], g_keys[order2], sums[order2]
+    first = np.concatenate([[True], gi[1:] != gi[:-1]])
+    group = np.cumsum(first) - 1
+    pos = np.arange(len(gi))
+    rank = pos - pos[first][group]
+    keep = rank < c
+    items_u = gi[first]
+    cand_keys = np.full((len(items_u), c), -1, np.int64)
+    cand_scores = np.full((len(items_u), c), -np.inf)
+    cand_keys[group[keep], rank[keep]] = gk[keep]
+    cand_scores[group[keep], rank[keep]] = gs[keep]
+    return items_u, cand_keys, cand_scores
+
+
+def _scores_to_arrays(
+    scores: dict[int, list[tuple[tuple, float]]], num_candidate_path: int,
+    num_nodes: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dict output of collect_path_scores -> the array format above."""
+    c = num_candidate_path
+    items_u = np.asarray(sorted(scores), np.int64)
+    cand_keys = np.full((len(items_u), c), -1, np.int64)
+    cand_scores = np.full((len(items_u), c), -np.inf)
+    for i, item in enumerate(items_u):
+        for j, (p, v) in enumerate(scores[int(item)][:c]):
+            cand_keys[i, j] = _path_keys(np.asarray(p, np.int64), num_nodes)
+            cand_scores[i, j] = v
+    return items_u, cand_keys, cand_scores
+
+
 def coordinate_descent(
     trainer,
     train_seqs: np.ndarray,
@@ -106,63 +207,82 @@ def coordinate_descent(
     num_layers = trainer.num_layers
     num_nodes = trainer.num_nodes
     j_paths = trainer.num_paths
+    q = float(penalty_poly_order)
     rng = np.random.default_rng(seed)
 
-    occurrence: dict[int, int] = {}
-    for t in train_targets:
-        occurrence[int(t)] = occurrence.get(int(t), 0) + 1
-
-    item_scores = collect_path_scores(
-        trainer,
-        train_seqs,
-        train_targets,
-        num_candidate_path,
-        batch_size,
-        mode,
-        decay_factor,
+    occ = np.bincount(
+        np.asarray(train_targets, np.int64), minlength=num_items
     )
 
-    mapping: dict[int, list[tuple]] = {}
-    path_size: dict[tuple, int] = {}
+    if mode == "batch":
+        items_u, cand_keys, cand_scores = _collect_batch_arrays(
+            trainer, train_seqs, train_targets, num_candidate_path, batch_size
+        )
+    else:
+        items_u, cand_keys, cand_scores = _scores_to_arrays(
+            collect_path_scores(
+                trainer, train_seqs, train_targets, num_candidate_path,
+                batch_size, mode, decay_factor,
+            ),
+            num_candidate_path, num_nodes,
+        )
+    row_of_item = np.full(num_items, -1, np.int64)
+    row_of_item[items_u] = np.arange(len(items_u))
+
+    # factorize candidate keys so path sizes live in one dense array
+    uniq_keys, inv = np.unique(cand_keys, return_inverse=True)
+    cand_idx = inv.reshape(cand_keys.shape)
+    path_size = np.zeros(len(uniq_keys), np.int64)
+    valid = cand_scores > -np.inf
+
+    sel_idx = np.full((len(items_u), j_paths), -1, np.int64)
+    random_paths: dict[int, np.ndarray] = {}
     for t in range(1, num_iteration + 1):
         for v in range(num_items):
-            if v not in occurrence or v not in item_scores:
-                mapping[v] = [
-                    tuple(rng.integers(0, num_nodes, num_layers).tolist())
-                    for _ in range(j_paths)
-                ]
+            r = row_of_item[v]
+            if occ[v] == 0 or r < 0:
+                random_paths[v] = rng.integers(
+                    0, num_nodes, size=(j_paths, num_layers)
+                ).astype(np.int32)
                 continue
-            nv = occurrence[v]
-            cand_all = item_scores[v]
-            selected: list[tuple] = []
+            nv = occ[v]
+            ci, sc, ok = cand_idx[r], cand_scores[r], valid[r]
             partial = 0.0
+            chosen: list[int] = []
             for j in range(j_paths):
                 if t > 1:
-                    old = mapping[v][j]
-                    path_size[old] = path_size.get(old, 0) - 1
-                cands = [
-                    (p, sc) for p, sc in cand_all if p not in selected
-                ] or cand_all
-                best_path, best_sc, best_gain = None, 0.0, -np.inf
-                for p, sc in cands:
-                    size = path_size.get(p, 0)
-                    pen = penalty_factor * _penalty(size, penalty_poly_order)
-                    gain = nv * (np.log1p(sc + partial) - np.log1p(partial)) - pen
-                    if gain > best_gain:
-                        best_gain, best_sc, best_path = gain, sc, p
-                if best_path is None:  # all gains NaN/-inf — keep first cand
-                    best_path, best_sc = cands[0]
-                path_size[best_path] = path_size.get(best_path, 0) + 1
-                selected.append(best_path)
+                    path_size[sel_idx[r, j]] -= 1
+                use = ok & ~np.isin(ci, chosen)
+                if not use.any():
+                    use = ok
+                sizes = path_size[ci].astype(np.float64)
+                pen = penalty_factor * ((sizes + 1.0) ** q - sizes**q) / q
+                gains = np.where(
+                    use,
+                    nv * (np.log1p(sc + partial) - np.log1p(partial)) - pen,
+                    -np.inf,
+                )
+                b = int(np.argmax(gains))
+                if not np.isfinite(gains[b]):
+                    # all gains NaN/-inf — keep the best-scored usable cand
+                    b = int(np.argmax(np.where(use, sc, -np.inf)))
+                path_size[ci[b]] += 1
+                chosen.append(int(ci[b]))
                 # accumulate the selected path's *score* (the paper's running
                 # sum; the reference accumulates the penalized gain instead —
                 # dr CoordinateDescent.scala:62-75 — which can drive the
                 # log1p argument below -1 and NaN the remaining selections)
-                partial += best_sc
-            mapping[v] = selected
+                partial += float(sc[b])
+            sel_idx[r] = chosen
 
     item_paths = np.zeros((num_items, j_paths, num_layers), dtype=np.int32)
-    for v, paths in mapping.items():
-        for j, p in enumerate(paths):
-            item_paths[v, j] = p
+    scored_mask = row_of_item >= 0
+    scored_items = np.flatnonzero(scored_mask & (occ > 0))
+    if len(scored_items):
+        keys_sel = uniq_keys[sel_idx[row_of_item[scored_items]]]
+        item_paths[scored_items] = _keys_to_paths(
+            keys_sel, num_nodes, num_layers
+        )
+    for v, paths in random_paths.items():
+        item_paths[v] = paths
     return PathIndex(item_paths=item_paths, num_nodes=num_nodes)

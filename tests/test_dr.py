@@ -267,3 +267,49 @@ def test_full_softmax_loss_chunked_matches(monkeypatch):
     monkeypatch.setattr(dm, "_FULL_SOFTMAX_MAX", 128)
     chunked = float(dm.full_softmax_loss(params, vecs, labels))
     np.testing.assert_allclose(chunked, one, rtol=1e-6)
+
+
+def test_vectorized_batch_aggregation_matches_dict(dr_data):
+    """_collect_batch_arrays (lexsort + segment sums) must aggregate exactly
+    like the reference-shaped per-sample dict loop in collect_path_scores
+    (batchPathScore semantics): same item set, same candidate path sets,
+    same summed scores up to fp reassociation."""
+    from dismember_tpu.train.dr_coordinate import (
+        _collect_batch_arrays,
+        _path_keys,
+        collect_path_scores,
+    )
+
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        train_batch_size=1024, beam_size=10, seed=0,
+    )
+    tr.train(num_epochs=1)
+    seqs = dr_data.train_seqs[:1500]
+    targets = dr_data.train_targets[:1500]
+    c = 10
+    items_u, cand_keys, cand_scores = _collect_batch_arrays(
+        tr, seqs, targets, c, 512
+    )
+    ref = collect_path_scores(tr, seqs, targets, c, 512, mode="batch")
+
+    assert set(int(i) for i in items_u) == set(ref)
+    for i, item in enumerate(items_u):
+        got = {
+            int(k): float(s)
+            for k, s in zip(cand_keys[i], cand_scores[i])
+            if k >= 0
+        }
+        want = {
+            int(_path_keys(np.asarray(p, np.int64), 20)): v
+            for p, v in ref[int(item)]
+        }
+        # dict top-C and array top-C can only differ on exact score ties
+        if set(got) != set(want):
+            only_g = {k: got[k] for k in set(got) - set(want)}
+            only_w = {k: want[k] for k in set(want) - set(got)}
+            assert np.allclose(
+                sorted(only_g.values()), sorted(only_w.values()), rtol=1e-9
+            ), (only_g, only_w)
+        for k in set(got) & set(want):
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
