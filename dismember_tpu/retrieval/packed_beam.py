@@ -596,6 +596,19 @@ def make_packed_beam_fn_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _n_contract_levels(cfg: TreeBeamConfig, max_contract_rows: int) -> int:
+    """Leading levels served by contraction (>= 1 gather level stays at the
+    bottom — it produces the leaf ids)."""
+    n_levels = cfg.max_level - cfg.start_level
+    n_contract = 0
+    for i in range(n_levels - 1):
+        if (1 << (cfg.start_level + i)) <= max_contract_rows:
+            n_contract += 1
+        else:
+            break
+    return n_contract
+
+
 def beam_search_hybrid(
     apply_from_emb: Callable[..., jnp.ndarray],
     params,
@@ -605,12 +618,21 @@ def beam_search_hybrid(
     cfg: TreeBeamConfig,
     precompute: Callable,
     max_contract_rows: int = 8192,
+    contract_prefix: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract (and bitwise-same results) as beam_search_packed.
 
     ``max_contract_rows=8192`` is the measured v5e crossover (1M items,
     batch 4096, beam 20): 12.4ms/batch vs 19.3ms all-gather — the
-    contraction beats the gather up to level 13 and loses above it."""
+    contraction beats the gather up to level 13 and loses above it.
+
+    ``contract_prefix`` (f32 [prefix_rows, 2E+2]) holds the contraction
+    levels' pair rows as a SEPARATE array.  Slicing them out of
+    ``pair_table`` inside the program makes XLA relayout the whole table
+    ({1,0} -> {0,1}) to feed the einsum operand — a 12.5ms/call copy of the
+    4.3GB table at 10M items, measured to dominate the 28ms batch.  With the
+    prefix split out the table is only consumed by the gather body and keeps
+    its gather-friendly layout (28.1 -> ~15.5ms/batch at 10M items)."""
     b = seq_codes.shape[0]
     beam = cfg.beam
     width = 2 * beam
@@ -627,21 +649,17 @@ def beam_search_hybrid(
     scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
 
     n_levels = cfg.max_level - cfg.start_level
-    # levels whose pair rows fit the contraction, always leaving >= 1
-    # gather level at the bottom (it produces the leaf ids)
-    n_contract = 0
-    for i in range(n_levels - 1):
-        if (1 << (cfg.start_level + i)) <= max_contract_rows:
-            n_contract += 1
-        else:
-            break
+    n_contract = _n_contract_levels(cfg, max_contract_rows)
 
     for i in range(n_contract):  # unrolled: tiny static slices per level
         lvl = cfg.start_level + i
         lo, n = (1 << lvl) - 1, 1 << lvl
-        seg = jax.lax.slice(pair_table, (lo, 0), (lo + n, 2 * e + 2)).astype(
-            jnp.float32
-        )
+        if contract_prefix is not None:
+            seg = jax.lax.slice(contract_prefix, (lo, 0), (lo + n, 2 * e + 2))
+        else:
+            seg = jax.lax.slice(
+                pair_table, (lo, 0), (lo + n, 2 * e + 2)
+            ).astype(jnp.float32)
         top_scores, top_idx = jax.lax.top_k(scores, beam)
         top_codes = onehot_select(frontier, top_idx)
         top_alive = top_scores > _NEG_INF / 2
@@ -703,11 +721,29 @@ def make_hybrid_beam_fn(
     cfg = packed.cfg
     e = packed.embed_size
 
+    # one-time eager slice of the contraction levels' rows (see
+    # beam_search_hybrid's contract_prefix note — keeping them inside the
+    # program forces a per-call whole-table relayout at 10M items)
+    n_contract = _n_contract_levels(cfg, max_contract_rows)
+    if n_contract > 0:
+        prefix_rows = min(
+            packed.pair_table.shape[0],
+            (1 << (cfg.start_level + n_contract)) - 1,
+        )
+        prefix = packed.pair_table[:prefix_rows, : 2 * e + 2].astype(
+            jnp.float32
+        )
+    else:
+        prefix = jnp.zeros((1, 2 * e + 2), jnp.float32)
+
     @jax.jit
-    def run(params, seq_codes, table):
+    def run(params, seq_codes, table, contract_prefix):
         return beam_search_hybrid(
             apply_from_emb, params, seq_codes, table, e, cfg, precompute,
             max_contract_rows=max_contract_rows,
+            contract_prefix=contract_prefix,
         )
 
-    return lambda params, seq_codes: run(params, seq_codes, packed.pair_table)
+    return lambda params, seq_codes: run(
+        params, seq_codes, packed.pair_table, prefix
+    )
