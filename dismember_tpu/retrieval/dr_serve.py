@@ -72,6 +72,17 @@ class DevicePathMap:
 # 128-lane bf16 rows gather at ~9ns/row and carry the bias in lane E.
 _PACKED_RERANK_MIN_ITEMS = 1 << 18
 
+# path-major block table: one contiguous block of per-item lanes per path.
+# Per-row random-gather bandwidth on v5e is width-bound — 256B rows move at
+# 27.8 GB/s but 1-3KB rows at ~90-115 GB/s (measured, same 81920-row probe
+# as scripts/bench_gather_width.py) — and candidates arrive per PATH, so
+# gathering one [m, item_lanes] block per beam path instead of one 128-lane
+# row per candidate item cuts both the DMA count (m-fold) and the bytes
+# (items pack at 32 lanes instead of a full 128-lane row).  The rerank row
+# gather was 15.4 of the 23.9 ms DR serving batch at 1M items (xplane).
+_BLOCK_TABLE_MAX_BYTES = 8 << 30  # fall back to item-major rows above this
+_ID_DIGITS, _ID_BASE = 4, 256  # exact bf16 integer lanes (ids < 2^31)
+
 
 def _pack_rerank_table(softmax_w: jnp.ndarray, softmax_b: jnp.ndarray):
     """[N, E] weights + [N] bias -> [N, 128] bf16 rows (lane E = bias)."""
@@ -92,19 +103,105 @@ def _pack_rerank_table(softmax_w: jnp.ndarray, softmax_b: jnp.ndarray):
     return fill(jnp.zeros((n, 128), jnp.bfloat16), softmax_w, softmax_b)
 
 
+def _block_item_lanes(e: int) -> int | None:
+    """Smallest power-of-two lane stride holding one item's payload:
+    e weight lanes | bias | _ID_DIGITS id digits | valid flag."""
+    used = e + 1 + _ID_DIGITS + 1
+    for lanes in (32, 64, 128):
+        if used <= lanes:
+            return lanes
+    return None
+
+
+def _build_block_table(
+    softmax_w: jnp.ndarray,  # [N, E] f32 (device)
+    softmax_b: jnp.ndarray,  # [N] f32 (device)
+    path_items: np.ndarray,  # [n_paths, m] int32, -1 pad (host)
+    item_lanes: int,
+) -> tuple[jnp.ndarray, int]:
+    """Path-major bf16 serving table: row p = the m_pad items of path p,
+    each in an ``item_lanes``-lane slot (w | bias | id digits | valid).
+
+    Returns (table [n_paths, m_pad*item_lanes], m_pad).  Built in donated
+    chunks: one fused build program peaks ~3x its output (CLAUDE.md), and
+    the w-row gather input table co-resides either way."""
+    import functools
+
+    from dismember_tpu.retrieval.packed_beam import _encode_id_digits
+
+    n_paths, m = path_items.shape
+    group = 128 // item_lanes
+    m_pad = -(-m // group) * group
+    e = int(softmax_w.shape[1])
+    width = m_pad * item_lanes
+    items = np.full((n_paths, m_pad), -1, np.int64)
+    items[:, :m] = path_items
+
+    cs = max(1, min(n_paths, (256 << 20) // (width * 2)))  # ~512MB chunks
+    n_chunks = -(-n_paths // cs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, w, bvec, ids_safe, digits, valid, start):
+        rows = w[ids_safe].astype(jnp.bfloat16)  # [cs*m_pad, e]
+        bias = bvec[ids_safe][:, None].astype(jnp.bfloat16)
+        pad = jnp.zeros(
+            (rows.shape[0], item_lanes - e - 1 - _ID_DIGITS - 1), jnp.bfloat16
+        )
+        lanes = jnp.concatenate(
+            [rows, bias, digits.astype(jnp.bfloat16),
+             valid.astype(jnp.bfloat16), pad], axis=1,
+        )
+        return jax.lax.dynamic_update_slice(
+            buf, lanes.reshape(-1, width), (start, 0)
+        )
+
+    buf = jnp.zeros((n_paths, width), jnp.bfloat16)
+    for i in range(n_chunks):
+        # equal-size chunks (one compile); tail overlap-rewrites identically
+        start = min(i * cs, n_paths - cs) if n_paths >= cs else 0
+        flat = items[start : start + cs].reshape(-1)
+        buf = fill(
+            buf,
+            softmax_w,
+            softmax_b,
+            jnp.asarray(np.maximum(flat, 0), jnp.int32),
+            jnp.asarray(_encode_id_digits(flat, _ID_DIGITS, _ID_BASE)),
+            jnp.asarray((flat >= 0)[:, None], jnp.float32),
+            start,
+        )
+    return buf, m_pad
+
+
 def make_dr_serving_fn(
     trainer, beam: int | None = None, topk: int | None = None,
-    max_items_per_path: int = 128,
+    max_items_per_path: int = 128, rerank_table: str = "auto",
 ):
     """Build a jitted ``(layer_params, rerank_params, seqs[, consumed]) ->
     (item ids [B, topk], scores)`` closure, or None when the dense table
     doesn't fit.
 
-    At deep catalogs (>= ``_PACKED_RERANK_MIN_ITEMS``) the rerank projection
-    is gathered from a packed bf16 table built once at closure-build time
-    (params are frozen at serving time); scores then round the weights to
-    bf16 — the same rounding the MXU applies to matmul operands — so ranking
-    differences vs the exact path only arise on near-ties."""
+    ``rerank_table`` picks how candidate rerank rows reach the scorer:
+
+    - ``"exact"``: per-candidate f32 row gathers from the live params;
+    - ``"packed"``: per-candidate 128-lane bf16 [w|bias] rows (frozen at
+      closure-build time);
+    - ``"block"``: path-major bf16 blocks — one contiguous
+      [m_pad, item_lanes] slot row per path, gathered once per beam path.
+      Wide contiguous rows move at ~4x the bandwidth of per-item 128-lane
+      rows on v5e and items pack at 32 lanes, so the dominant serving cost
+      (the candidate row gather — 15.4 of 23.9 ms/batch at 1M items) drops
+      ~10x.  Ids travel as exact base-256 bf16 digit lanes; dedup switches
+      from the value-sort to top-(k*J) + first-occurrence masking (an item
+      appears on at most J retrieved paths), which is exact because
+      duplicate candidates carry identical scores.
+    - ``"auto"``: block at >= ``_PACKED_RERANK_MIN_ITEMS`` items (falling
+      back to packed when the block table would exceed
+      ``_BLOCK_TABLE_MAX_BYTES`` or the embed width has no lane slot),
+      exact below.
+
+    bf16 tables round the weights the same way the MXU rounds matmul
+    operands, so ranking differences vs the exact path only arise on
+    near-ties."""
     dmap = DevicePathMap.build(trainer.path_index, max_items_per_path)
     if dmap is None:
         return None
@@ -119,8 +216,27 @@ def make_dr_serving_fn(
     m = dmap.path_items.shape[1]
     e = int(trainer.rerank_params["softmax_w"].shape[1])
 
+    if rerank_table == "auto":
+        rerank_table = (
+            "block" if num_items >= _PACKED_RERANK_MIN_ITEMS else "exact"
+        )
+    if rerank_table == "block":
+        item_lanes = _block_item_lanes(e)
+        group = 128 // item_lanes if item_lanes else 1
+        m_pad = -(-m // group) * group if item_lanes else m
+        if (
+            item_lanes is None
+            or dmap.path_items.shape[0] * m_pad * item_lanes * 2
+            > _BLOCK_TABLE_MAX_BYTES
+        ):
+            rerank_table = "packed"
+    if rerank_table == "block":
+        return _make_block_serving_fn(
+            trainer, dmap, beam, k, item_lanes
+        )
+
     packed_wb = None
-    if num_items >= _PACKED_RERANK_MIN_ITEMS:
+    if rerank_table == "packed":
         packed_wb = _pack_rerank_table(
             trainer.rerank_params["softmax_w"],
             trainer.rerank_params["softmax_b"],
@@ -178,5 +294,87 @@ def make_dr_serving_fn(
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
         return run(layer_params, rerank_params, packed_wb, seqs, consumed)
+
+    return fn
+
+
+def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
+    """Path-major block serving (see ``make_dr_serving_fn`` docstring)."""
+    from dismember_tpu.models.dr_models import rerank_user_vector
+    from dismember_tpu.retrieval.packed_beam import _decode_id_digits
+    from dismember_tpu.retrieval.tree_beam import onehot_select
+
+    num_items = trainer.data.num_items
+    num_nodes = trainer.num_nodes
+    num_layers = trainer.num_layers
+    e = int(trainer.rerank_params["softmax_w"].shape[1])
+    # items appear on at most J paths, so top-(k*J) holds >= k unique items
+    j_paths = max(1, int(getattr(trainer, "num_paths", 1)))
+
+    block_tab, m_pad = _build_block_table(
+        trainer.rerank_params["softmax_w"],
+        trainer.rerank_params["softmax_b"],
+        np.asarray(dmap.path_items),
+        item_lanes,
+    )
+
+    # the block table is a jit ARGUMENT for the same reason packed_wb is:
+    # closure-captured multi-GB device arrays become HLO literal constants
+    @jax.jit
+    def run(layer_params, rerank_params, block_tab, seqs, consumed=None):
+        b = seqs.shape[0]
+        paths, _probs = path_beam_search(
+            layer_params, seqs, beam, num_items, num_nodes, num_layers
+        )  # [B, beam, D]
+        keys = jnp.zeros(paths.shape[:2], jnp.int32)
+        for d in range(num_layers):
+            keys = keys * num_nodes + paths[:, :, d]
+        rows = dmap.path_table[keys]  # [B, beam]
+        # a padded beam (num_nodes < beam) repeats a path; keep the first
+        # copy only, or an item could exceed the J-occurrence bound the
+        # dedup relies on
+        lower = jnp.tril(jnp.ones((beam, beam), bool), -1)
+        dup_path = ((keys[:, :, None] == keys[:, None, :]) & lower).any(-1)
+        path_ok = (rows >= 0) & ~dup_path
+
+        blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, m_pad*lanes]
+        blocks = blocks.reshape(b, beam, m_pad, item_lanes)
+        w = blocks[..., :e].astype(jnp.float32)
+        bias = blocks[..., e].astype(jnp.float32)
+        ids = _decode_id_digits(
+            blocks[..., e + 1 : e + 1 + _ID_DIGITS], _ID_BASE
+        )  # [B, beam, m_pad] exact int32
+        valid = (blocks[..., e + 1 + _ID_DIGITS] > 0) & path_ok[:, :, None]
+
+        c = beam * m_pad
+        cand = jnp.where(valid, ids, -1).reshape(b, c)
+        ok = valid.reshape(b, c)
+        if consumed is not None:
+            ok &= ~(cand[:, :, None] == consumed[:, None, :]).any(-1)
+        user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
+        scores = jnp.einsum("be,bpme->bpm", user_vec, w).reshape(b, c)
+        scores = jnp.where(ok, scores + bias.reshape(b, c), _NEG_INF)
+
+        kj = min(c, max(k, k * j_paths))
+        top_s, top_i = jax.lax.top_k(scores, kj)
+        top_ids = onehot_select(cand, top_i)
+        top_ids = jnp.where(top_s > _NEG_INF / 2, top_ids, -1)
+        # exact dedup: duplicates of an item carry identical scores and
+        # top_k is stable, so masking every non-first occurrence and
+        # re-top-k-ing reproduces the sorted-dedup result
+        lower_kj = jnp.tril(jnp.ones((kj, kj), bool), -1)
+        eq = (top_ids[:, :, None] == top_ids[:, None, :]) & (
+            top_ids[:, None, :] >= 0
+        )
+        is_dup = (eq & lower_kj).any(-1)
+        fin_s, fin_i = jax.lax.top_k(
+            jnp.where(is_dup, _NEG_INF, top_s), k
+        )
+        fin_ids = onehot_select(top_ids, fin_i)
+        fin_ids = jnp.where(fin_s > _NEG_INF / 2, fin_ids, -1)
+        return fin_ids, fin_s
+
+    def fn(layer_params, rerank_params, seqs, consumed=None):
+        return run(layer_params, rerank_params, block_tab, seqs, consumed)
 
     return fn

@@ -72,21 +72,39 @@ def test_device_serving_consumed_filter(trained):
     assert base_ids[0, 0] not in out_ids[0]
 
 
-def test_packed_rerank_serving_matches_exact(trained, monkeypatch):
-    """Deep-catalog packed bf16 [w|bias] serving table: same ids as the exact
-    f32 gather path (bf16 rounds the weights like the MXU rounds matmul
-    operands; only near-ties could reorder — scores checked to bf16 tol)."""
-    import dismember_tpu.retrieval.dr_serve as ds
-
+@pytest.mark.parametrize("mode", ["packed", "block"])
+def test_bf16_rerank_serving_matches_exact(trained, mode):
+    """Deep-catalog bf16 serving tables (item-major packed rows and
+    path-major blocks): same ids as the exact f32 gather path (bf16 rounds
+    the weights like the MXU rounds matmul operands; only near-ties could
+    reorder — scores checked to bf16 tol)."""
     tr = trained
     seqs = jnp.asarray(tr.data.eval_seqs[:32], jnp.int32)
-    exact_fn = make_dr_serving_fn(tr, topk=5)
+    exact_fn = make_dr_serving_fn(tr, topk=5, rerank_table="exact")
     ids_e, sc_e = exact_fn(tr.layer_params, tr.rerank_params, seqs)
-    monkeypatch.setattr(ds, "_PACKED_RERANK_MIN_ITEMS", 1)
-    packed_fn = make_dr_serving_fn(tr, topk=5)
-    ids_p, sc_p = packed_fn(tr.layer_params, tr.rerank_params, seqs)
+    bf16_fn = make_dr_serving_fn(tr, topk=5, rerank_table=mode)
+    ids_p, sc_p = bf16_fn(tr.layer_params, tr.rerank_params, seqs)
     ids_e, sc_e, ids_p, sc_p = map(np.asarray, (ids_e, sc_e, ids_p, sc_p))
     same = (ids_e == ids_p).mean()
-    assert same > 0.9, f"packed ids diverged too much: {same}"
+    assert same > 0.9, f"{mode} ids diverged too much: {same}"
     alive = (ids_e >= 0) & (ids_e == ids_p)
     np.testing.assert_allclose(sc_p[alive], sc_e[alive], rtol=2e-2, atol=2e-2)
+
+
+def test_block_serving_consumed_and_dedup(trained):
+    """Block path: consumed filter works and returned ids are unique per
+    row (an item on both its J=2 retrieved paths must appear once)."""
+    tr = trained
+    fn = make_dr_serving_fn(tr, topk=5, rerank_table="block")
+    seqs = jnp.asarray(tr.data.eval_seqs[:16], jnp.int32)
+    ids, _ = fn(tr.layer_params, tr.rerank_params, seqs)
+    ids = np.asarray(ids)
+    for row in ids:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+    consumed = np.full((16, 2), -1, dtype=np.int32)
+    consumed[0, 0] = ids[0, 0]
+    out, _ = fn(
+        tr.layer_params, tr.rerank_params, seqs, jnp.asarray(consumed)
+    )
+    assert ids[0, 0] not in np.asarray(out)[0]
