@@ -317,6 +317,31 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         np.asarray(dmap.path_items),
         item_lanes,
     )
+    width = m_pad * item_lanes
+
+    # Per-slot extraction as static one-hot lane matmuls on the FULL-width
+    # rows: reshaping the gathered blocks to [B, beam, m_pad, item_lanes]
+    # pads the 32-lane minor dim to the 128-lane tile — a 4x-blown copy +
+    # reshape worth 4.4 of 14.7 ms/batch at 10M items (xplane).  A
+    # [width, m_pad] selection matmul is ~6G bf16 MACs — MXU noise.  Digit
+    # and bias lanes hold exact bf16 integers <= 255, so the bf16 dot is
+    # exact (the CLAUDE.md one-hot-contraction quantization hazard starts
+    # above 255).
+    slot_sum = np.zeros((width, m_pad), np.float32)  # sums a slot's lanes
+    bias_sel = np.zeros((width, m_pad), np.float32)
+    valid_sel = np.zeros((width, m_pad), np.float32)
+    digit_sel = np.zeros((_ID_DIGITS, width, m_pad), np.float32)
+    for i in range(m_pad):
+        base = i * item_lanes
+        slot_sum[base : base + e, i] = 1.0
+        bias_sel[base + e, i] = 1.0
+        valid_sel[base + e + 1 + _ID_DIGITS, i] = 1.0
+        for d in range(_ID_DIGITS):
+            digit_sel[d, base + e + 1 + d, i] = 1.0
+    slot_sum = jnp.asarray(slot_sum, jnp.bfloat16)
+    bias_sel = jnp.asarray(bias_sel, jnp.bfloat16)
+    valid_sel = jnp.asarray(valid_sel, jnp.bfloat16)
+    digit_sel = jnp.asarray(digit_sel, jnp.bfloat16)
 
     # the block table is a jit ARGUMENT for the same reason packed_wb is:
     # closure-captured multi-GB device arrays become HLO literal constants
@@ -337,23 +362,46 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         dup_path = ((keys[:, :, None] == keys[:, None, :]) & lower).any(-1)
         path_ok = (rows >= 0) & ~dup_path
 
-        blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, m_pad*lanes]
-        blocks = blocks.reshape(b, beam, m_pad, item_lanes)
-        w = blocks[..., :e].astype(jnp.float32)
-        bias = blocks[..., e].astype(jnp.float32)
-        ids = _decode_id_digits(
-            blocks[..., e + 1 : e + 1 + _ID_DIGITS], _ID_BASE
-        )  # [B, beam, m_pad] exact int32
-        valid = (blocks[..., e + 1 + _ID_DIGITS] > 0) & path_ok[:, :, None]
+        blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, width]
+
+        # per-slot values via the static lane-selection matmuls (see the
+        # closure comment): bias / id digits / valid are exact one-hot
+        # picks; the score sum rides the zero lanes of the padded user row
+        bias = jnp.einsum("bpw,wm->bpm", blocks, bias_sel).astype(
+            jnp.float32
+        )
+        vlane = jnp.einsum("bpw,wm->bpm", blocks, valid_sel)
+        digits = jnp.stack(
+            [
+                jnp.einsum("bpw,wm->bpm", blocks, digit_sel[d])
+                for d in range(_ID_DIGITS)
+            ],
+            axis=-1,
+        )
+        ids = _decode_id_digits(digits, _ID_BASE)  # [B, beam, m_pad] int32
+        valid = (vlane > 0) & path_ok[:, :, None]
+
+        user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
+        user_wide = jnp.tile(
+            jnp.pad(user_vec, ((0, 0), (0, item_lanes - e))), (1, m_pad)
+        )  # [B, width] f32; zero on non-weight lanes
+        # f32 products + HIGHEST slot-sum keep per-term rounding identical
+        # to the item-major path (one bf16 rounding, of the stored weight);
+        # the matmul is ~6G MACs, so the 3-pass cost is noise
+        scores = jnp.einsum(
+            "bpw,wm->bpm",
+            blocks.astype(jnp.float32) * user_wide[:, None, :],
+            slot_sum.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
         c = beam * m_pad
         cand = jnp.where(valid, ids, -1).reshape(b, c)
         ok = valid.reshape(b, c)
         if consumed is not None:
             ok &= ~(cand[:, :, None] == consumed[:, None, :]).any(-1)
-        user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
-        scores = jnp.einsum("be,bpme->bpm", user_vec, w).reshape(b, c)
-        scores = jnp.where(ok, scores + bias.reshape(b, c), _NEG_INF)
+        scores = jnp.where(ok, scores.reshape(b, c) + bias.reshape(b, c),
+                           _NEG_INF)
 
         kj = min(c, max(k, k * j_paths))
         top_s, top_i = jax.lax.top_k(scores, kj)

@@ -86,6 +86,70 @@ def make_sharded_beam_fn(
     return (lambda p, seq_codes: run(p, seq_codes, node_meta)), params
 
 
+def make_sharded_packed_beam_fn(
+    packed,
+    mesh,
+    precompute,
+    apply_from_emb,
+    max_contract_rows: int = 8192,
+):
+    """Deep-catalog serving over the mesh: the packed pair table row-sharded
+    on 'model' (at depth the pair table IS the node-embedding table —
+    north-star P3; 4GB at 10M items), query batch sharded on 'data', scorer
+    params + the small contraction prefix replicated.  GSPMD lowers the
+    per-level frontier row gathers from the sharded table to masked partial
+    gathers + a psum across table shards over ICI.
+
+    Returns a ``(params, seq_codes) -> (ids, scores)`` closure with the
+    same results as :func:`retrieval.packed_beam.make_hybrid_beam_fn`.
+    """
+    import jax.numpy as jnp
+
+    from dismember_tpu.retrieval.packed_beam import (
+        _n_contract_levels,
+        beam_search_hybrid,
+    )
+
+    cfg, e = packed.cfg, packed.embed_size
+    n_model = mesh.shape[meshlib.MODEL_AXIS]
+    table = packed.pair_table
+    pad = (-table.shape[0]) % n_model
+    if pad:
+        # zero rows carry exists=0 lanes: dead rows, masked at query time
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+    tshard = NamedSharding(mesh, P(meshlib.MODEL_AXIS, None))
+    table = jax.device_put(table, tshard)
+
+    n_contract = _n_contract_levels(cfg, max_contract_rows)
+    if n_contract > 0:
+        prefix_rows = min(
+            packed.pair_table.shape[0],
+            (1 << (cfg.start_level + n_contract)) - 1,
+        )
+        prefix = packed.pair_table[:prefix_rows, : 2 * e + 2].astype(
+            jnp.float32
+        )
+    else:
+        prefix = jnp.zeros((1, 2 * e + 2), jnp.float32)
+    rep = NamedSharding(mesh, P())
+    prefix = jax.device_put(prefix, rep)
+    bshard = NamedSharding(mesh, meshlib.batch_spec())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, bshard, tshard, rep),
+        out_shardings=(bshard, bshard),
+    )
+    def run(params, seq_codes, pair_table, contract_prefix):
+        return beam_search_hybrid(
+            apply_from_emb, params, seq_codes, pair_table, e, cfg,
+            precompute, max_contract_rows=max_contract_rows,
+            contract_prefix=contract_prefix,
+        )
+
+    return lambda params, seq_codes: run(params, seq_codes, table, prefix)
+
+
 def make_sharded_train_step(
     forward: Callable,
     sampler,

@@ -145,3 +145,33 @@ def test_trainer_with_mesh(tiny_tree):
     assert all(np.isfinite(l["train_loss"]) for l in logs)
     rec = tr.recommend(seqs[0], topk=5)
     assert len(rec) == 5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_packed_beam_matches_unsharded(tiny_tree):
+    """Deep-catalog serving sharding: the packed pair table row-sharded on
+    'model' must reproduce the single-device hybrid beam exactly."""
+    from dismember_tpu.retrieval.packed_beam import (
+        make_hybrid_beam_fn,
+        make_packed_tree,
+    )
+    from dismember_tpu.train.spmd import make_sharded_packed_beam_fn
+
+    tree = tiny_tree
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    num_index = (1 << (tree.max_level + 1)) - 1
+    params = din.init_params(jax.random.PRNGKey(0), num_index, 16)
+    packed = make_packed_tree(tree, params["embedding"], beam=4)
+
+    rng = np.random.default_rng(1)
+    seqs = tree.ids_to_codes(rng.integers(1, 33, size=(8, 10)))
+
+    ref_fn = make_hybrid_beam_fn(packed, din.precompute_seq, din.apply_from_emb)
+    ref_ids, ref_scores = jax.device_get(ref_fn(params, jnp.asarray(seqs)))
+
+    sh_fn = make_sharded_packed_beam_fn(
+        packed, mesh, din.precompute_seq, din.apply_from_emb
+    )
+    got_ids, got_scores = jax.device_get(sh_fn(params, jnp.asarray(seqs)))
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-5, atol=1e-6)
