@@ -336,40 +336,91 @@ def build_subtree_table(
     node_exists: np.ndarray,
     node_id: np.ndarray,
     total_codes: int,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Rows for every code with grandchildren: n_rows = (total_codes-3)//4."""
+    """Rows for every code with grandchildren: n_rows = (total_codes-3)//4.
+
+    Grandchild ids are stored as ``_id_layout(dtype)`` radix digit lanes
+    (f32: 2 base-4096 digits = the original hi/lo pair; bf16: 4 exact
+    base-256 digits).  At E=16 the bf16 row is 6*16+6+16 = 118 used lanes —
+    ONE 128-lane 256B row carries two exact beam levels.  Chunked donated
+    build above ``_ONE_SHOT_BUILD_BYTES`` (same OOM rule as the pair table).
+    """
     n_rows = (total_codes - 3) // 4
     e = embedding.shape[1]
-    used = 6 * e + 14
+    k, base = _id_layout(dtype)
+    used = 6 * e + 6 + 4 * k
     row_width = ((used + 127) // 128) * 128
 
     ex = np.asarray(node_exists, np.float32)
     child_ex = ex[1 : 2 * n_rows + 1].reshape(n_rows, 2)
     gc_ex = ex[3 : 4 * n_rows + 3].reshape(n_rows, 4)
-    hi, lo = _encode_ids(np.asarray(node_id[3 : 4 * n_rows + 3], np.int64))
-    gc_ids = np.stack(
-        [hi[0::4], lo[0::4], hi[1::4], lo[1::4],
-         hi[2::4], lo[2::4], hi[3::4], lo[3::4]], axis=1
-    )  # [n_rows, 8]
+    digits = _encode_id_digits(
+        np.asarray(node_id[3 : 4 * n_rows + 3], np.int64), k, base
+    )  # [4*n_rows, k]
+    gc_ids = np.concatenate(
+        [digits[i::4] for i in range(4)], axis=1
+    )  # [n_rows, 4k]: gc0 digits | gc1 | gc2 | gc3
 
-    @jax.jit
-    def build(emb, cex, gex, gid):
-        child = emb[1 : 2 * n_rows + 1].astype(jnp.float32).reshape(n_rows, 2 * e)
-        gc = emb[3 : 4 * n_rows + 3].astype(jnp.float32).reshape(n_rows, 4 * e)
-        pad = jnp.zeros((n_rows, row_width - used), jnp.float32)
-        return jnp.concatenate([child, gc, cex, gex, gid, pad], axis=1)
+    out_bytes = n_rows * row_width * np.dtype(dtype).itemsize
+    if out_bytes <= _ONE_SHOT_BUILD_BYTES:
+        @jax.jit
+        def build(emb, cex, gex, gid):
+            child = emb[1 : 2 * n_rows + 1].astype(dtype).reshape(
+                n_rows, 2 * e
+            )
+            gc = emb[3 : 4 * n_rows + 3].astype(dtype).reshape(n_rows, 4 * e)
+            pad = jnp.zeros((n_rows, row_width - used), dtype)
+            return jnp.concatenate(
+                [child, gc, cex.astype(dtype), gex.astype(dtype),
+                 gid.astype(dtype), pad], axis=1,
+            )
 
-    return build(embedding, jnp.asarray(child_ex), jnp.asarray(gc_ex),
-                 jnp.asarray(gc_ids))
+        return build(embedding, jnp.asarray(child_ex), jnp.asarray(gc_ex),
+                     jnp.asarray(gc_ids))
+
+    import functools
+
+    n_chunks = max(1, -(-out_bytes // _ONE_SHOT_BUILD_BYTES))
+    cs = -(-n_rows // n_chunks)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, emb, cex, gex, gid, start):
+        child = jax.lax.dynamic_slice_in_dim(
+            emb, 1 + 2 * start, 2 * cs, 0
+        ).astype(dtype).reshape(cs, 2 * e)
+        gc = jax.lax.dynamic_slice_in_dim(
+            emb, 3 + 4 * start, 4 * cs, 0
+        ).astype(dtype).reshape(cs, 4 * e)
+        block = jnp.concatenate(
+            [child, gc, cex.astype(dtype), gex.astype(dtype),
+             gid.astype(dtype)], axis=1,
+        )  # pad lanes keep the buffer's zeros
+        return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+    buf = jnp.zeros((n_rows, row_width), dtype)
+    for i in range(n_chunks):
+        start = min(i * cs, n_rows - cs)
+        buf = fill(
+            buf, embedding,
+            jnp.asarray(child_ex[start : start + cs]),
+            jnp.asarray(gc_ex[start : start + cs]),
+            jnp.asarray(gc_ids[start : start + cs]),
+            start,
+        )
+    return buf
 
 
-def make_subtree_tree(tree: ArrayTree, embedding: jnp.ndarray, beam: int) -> SubtreeTree:
+def make_subtree_tree(
+    tree: ArrayTree, embedding: jnp.ndarray, beam: int, dtype=jnp.float32
+) -> SubtreeTree:
     cfg = make_config(tree, beam)
     n_levels = cfg.max_level - cfg.start_level
     if n_levels < 2:
         raise ValueError("stride-2 beam needs >= 2 levels below the start")
     table = build_subtree_table(
-        embedding, tree.node_exists, tree.node_id, tree.total_codes
+        embedding, tree.node_exists, tree.node_id, tree.total_codes,
+        dtype=dtype,
     )
     return SubtreeTree(
         subtree_table=table, embed_size=int(embedding.shape[1]), cfg=cfg,
@@ -384,13 +435,21 @@ def beam_search_stride2(
     embed_size: int,
     cfg: TreeBeamConfig,
     precompute: Callable,
+    max_contract_rows: int = 0,
+    contract_prefix: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact beam search at one gather per two levels."""
+    """Exact beam search at one gather per two levels.
+
+    With ``contract_prefix`` (f32 [prefix_rows, 2E+2] pair-layout rows of
+    the top levels, sliced out at build time — see ``beam_search_hybrid``'s
+    relayout note) the leading levels with <= ``max_contract_rows`` nodes
+    run as one-hot MXU contractions and only the deep levels gather."""
     b = seq_codes.shape[0]
     beam = cfg.beam
     width = 2 * beam
     e = embed_size
     n_rows = subtree_table.shape[0]
+    k, base = _id_layout(subtree_table.dtype)
 
     ctx = precompute(params, seq_codes)
 
@@ -402,7 +461,33 @@ def beam_search_stride2(
     ids = jnp.full((b, width), -1, jnp.int32)
 
     n_levels = cfg.max_level - cfg.start_level
-    if n_levels % 2 == 1:
+    n_contract = 0
+    if contract_prefix is not None and max_contract_rows > 0:
+        # leave >= 2 levels for the stride-2 scan
+        n_contract = min(
+            _n_contract_levels(cfg, max_contract_rows), n_levels - 2
+        )
+    for i in range(n_contract):  # unrolled: tiny static slices per level
+        lvl = cfg.start_level + i
+        lo, n = (1 << lvl) - 1, 1 << lvl
+        seg = jax.lax.slice(contract_prefix, (lo, 0), (lo + n, 2 * e + 2))
+        top_scores, top_idx = jax.lax.top_k(scores, beam)
+        top_codes = onehot_select(frontier, top_idx)
+        top_alive = top_scores > _NEG_INF / 2
+        onehot = (
+            (top_codes - lo)[..., None] == jnp.arange(n, dtype=jnp.int32)
+        ).astype(jnp.float32)  # dead slots (-1) select nothing -> zero rows
+        rows = jnp.einsum("bkn,nw->bkw", onehot, seg)
+        emb = rows[..., : 2 * e].reshape(b, width, e)
+        exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
+        alive = exists & jnp.repeat(top_alive, 2, axis=1)
+        frontier = jnp.stack(
+            [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
+        ).reshape(b, width)
+        logits = apply_from_emb(params, emb, ctx)
+        scores = jnp.where(alive, logits, _NEG_INF)
+
+    if (n_levels - n_contract) % 2 == 1:
         # one lead-in level so the stride-2 scan lands on leaves; the
         # subtree row's children half doubles as a pair row (lead-in codes
         # sit at least 3 levels above the leaves, so their rows exist)
@@ -411,7 +496,9 @@ def beam_search_stride2(
             top_scores, top_idx = jax.lax.top_k(scores, beam)
             top_codes = onehot_select(frontier, top_idx)
             top_alive = top_scores > _NEG_INF / 2
-            rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)]
+            rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)].astype(
+                jnp.float32
+            )
             emb = rows[..., : 2 * e].reshape(b, width, e)
             exists = rows[..., 6 * e : 6 * e + 2].reshape(b, width) > 0
             alive = exists & jnp.repeat(top_alive, 2, axis=1)
@@ -428,7 +515,9 @@ def beam_search_stride2(
         top_scores, top_idx = jax.lax.top_k(scores, beam)  # [B, beam]
         top_codes = onehot_select(frontier, top_idx)
         top_alive = top_scores > _NEG_INF / 2
-        rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)]  # [B,bm,RW]
+        rows = subtree_table[jnp.clip(top_codes, 0, n_rows - 1)].astype(
+            jnp.float32
+        )  # [B, beam, RW]
 
         # ---- level A: score + prune the 2*beam children -------------------
         c_emb = rows[..., : 2 * e].reshape(b, width, e)
@@ -447,22 +536,24 @@ def beam_search_stride2(
         # grandchild bank rearranged per child: [B, width, 2, (E, ex, hi/lo)]
         gc_emb = rows[..., 2 * e : 6 * e].reshape(b, width, 2, e)
         gc_ex = rows[..., 6 * e + 2 : 6 * e + 6].reshape(b, width, 2)
-        gc_id = rows[..., 6 * e + 6 : 6 * e + 14].reshape(b, width, 2, 2)
+        gc_id = rows[..., 6 * e + 6 : 6 * e + 6 + 4 * k].reshape(
+            b, width, 2, k
+        )
         onehot = (
             topb_idx[..., :, None] == jnp.arange(width, dtype=topb_idx.dtype)
         ).astype(jnp.float32)  # [B, beam, width]
-        sel_emb = jnp.einsum("bkj,bjte->bkte", onehot, gc_emb).reshape(
-            b, width, e
-        )
-        sel_ex = jnp.einsum("bkj,bjt->bkt", onehot, gc_ex).reshape(b, width) > 0
+        sel_emb = jnp.einsum(
+            "bkj,bjte->bkte", onehot, gc_emb.astype(jnp.float32)
+        ).reshape(b, width, e)
+        sel_ex = jnp.einsum(
+            "bkj,bjt->bkt", onehot, gc_ex.astype(jnp.float32)
+        ).reshape(b, width) > 0
         # id lanes must be selected EXACTLY: a float one-hot einsum rides the
         # MXU at default precision, which truncates f32 inputs to bf16 and
-        # silently quantizes id lanes (12-bit lo values need f32 mantissa).
-        # Decode to int32 first (elementwise, exact) and contract in int32.
-        gc_int = (
-            gc_id[..., 0].astype(jnp.int32) * 4096
-            + gc_id[..., 1].astype(jnp.int32)
-        )  # [B, width, 2]
+        # silently quantizes id lanes (12-bit base-4096 digits need the f32
+        # mantissa).  Decode the radix digits to int32 first (elementwise,
+        # exact for both lane dtypes) and contract in int32.
+        gc_int = _decode_id_digits(gc_id, base)  # [B, width, 2]
         sel_id = jnp.stack(
             [
                 onehot_select(gc_int[..., 0], topb_idx),
@@ -479,7 +570,7 @@ def beam_search_stride2(
         return (gchildren, g_scores, sel_id), None
 
     (frontier, scores, ids), _ = jax.lax.scan(
-        stride_body, (frontier, scores, ids), None, length=n_levels // 2
+        stride_body, (frontier, scores, ids), None, length=(n_levels - n_contract) // 2
     )
 
     leaf_ok = scores > _NEG_INF / 2
@@ -502,6 +593,49 @@ def make_stride2_beam_fn(
 
     return lambda params, seq_codes: run(
         params, seq_codes, packed.subtree_table
+    )
+
+
+def make_stride2_hybrid_beam_fn(
+    packed: SubtreeTree,
+    precompute: Callable,
+    apply_from_emb: Callable,
+    max_contract_rows: int = 8192,
+) -> Callable:
+    """Contraction for the small top levels + stride-2 gathers below.
+
+    The stride-2 row's children half IS a pair row ([2E emb | 2 exists] at
+    lanes [0:2E] and [6E:6E+2]), so the contraction prefix is sliced out of
+    the subtree table eagerly at build time — keeping the slice inside the
+    program would whole-table-relayout it (see ``beam_search_hybrid``)."""
+    cfg = packed.cfg
+    e = packed.embed_size
+    n_levels = cfg.max_level - cfg.start_level
+    n_contract = min(
+        _n_contract_levels(cfg, max_contract_rows), n_levels - 2
+    )
+    if n_contract > 0:
+        prefix_rows = min(
+            packed.subtree_table.shape[0],
+            (1 << (cfg.start_level + n_contract)) - 1,
+        )
+        sl = packed.subtree_table[:prefix_rows]
+        prefix = jnp.concatenate(
+            [sl[:, : 2 * e], sl[:, 6 * e : 6 * e + 2]], axis=1
+        ).astype(jnp.float32)
+    else:
+        prefix = jnp.zeros((1, 2 * e + 2), jnp.float32)
+
+    @jax.jit
+    def run(params, seq_codes, table, contract_prefix):
+        return beam_search_stride2(
+            apply_from_emb, params, seq_codes, table, e, cfg, precompute,
+            max_contract_rows=max_contract_rows,
+            contract_prefix=contract_prefix,
+        )
+
+    return lambda params, seq_codes: run(
+        params, seq_codes, packed.subtree_table, prefix
     )
 
 

@@ -38,6 +38,7 @@ VARIANTS = {
     "e64x8k": dict(embed=64, iters=8000, lr=3e-3),
     "e96x6k": dict(embed=96, iters=6000, lr=3e-3),
     "e64x6k-lr2": dict(embed=64, iters=6000, lr=2e-3),
+    "e128x6k": dict(embed=128, iters=6000, lr=3e-3),
 }
 
 raw = read_csv(CSV)
@@ -96,4 +97,5 @@ def run_variant(name, cfg, seed=1):
 if __name__ == "__main__":
     names = sys.argv[1:] or ["e64x8k", "e96x6k"]
     for n in names:
-        run_variant(n, VARIANTS[n])
+        base, _, seed = n.partition(":")
+        run_variant(n.replace(":", "-s"), VARIANTS[base], seed=int(seed or 1))

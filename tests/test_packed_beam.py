@@ -339,3 +339,47 @@ def test_chunked_build_matches_one_shot(tree, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(one, np.float32), np.asarray(chunked, np.float32)
         )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_stride2_hybrid_matches_classic(tree, dtype):
+    """Contraction-prefix stride-2 loop: identical items to the classic loop
+    for f32 tables; bf16 tables may flip near-ties (emb lanes rounded the
+    way the MXU rounds operands) but ids stay exact via the base-256 digit
+    lanes."""
+    import jax.numpy as jnp
+
+    from dismember_tpu.retrieval.packed_beam import (
+        make_stride2_beam_fn,
+        make_stride2_hybrid_beam_fn,
+        make_subtree_tree,
+    )
+
+    num_index = tree.total_codes
+    params = din.init_params(jax.random.PRNGKey(6), num_index, 8)
+    dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    st = make_subtree_tree(tree, params["embedding"], beam=4, dtype=dt)
+    # small max_contract_rows so both the contraction and gather phases run
+    hy = make_stride2_hybrid_beam_fn(
+        st, din.precompute_seq, din.apply_from_emb, max_contract_rows=64
+    )
+    seqs = _seqs(tree, seed=11)
+    ids_h, sc_h = jax.device_get(hy(params, seqs))
+    if dtype == "float32":
+        classic = make_beam_fn(
+            din.forward, tree, beam=4,
+            precompute=din.precompute_seq, apply=din.apply_with_ctx,
+        )
+        ids_c, sc_c = jax.device_get(classic(params, seqs))
+        np.testing.assert_array_equal(ids_h, ids_c)
+        alive = ids_c >= 0
+        np.testing.assert_allclose(sc_h[alive], sc_c[alive], rtol=1e-5)
+    else:
+        # bf16: compare against the bf16 plain stride loop (same rounding,
+        # same ids) — the hybrid prefix must not change anything
+        pl = make_stride2_beam_fn(st, din.precompute_seq, din.apply_from_emb)
+        ids_p, sc_p = jax.device_get(pl(params, seqs))
+        np.testing.assert_array_equal(ids_h, ids_p)
+        alive = ids_p >= 0
+        np.testing.assert_allclose(sc_h[alive], sc_p[alive], rtol=1e-3,
+                                   atol=1e-3)
