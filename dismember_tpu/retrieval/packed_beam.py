@@ -319,6 +319,14 @@ def make_packed_beam_fn(
 # pair loop — halving the gathers buys ~2.4ms but the grandchild one-hot
 # selection apparatus gives it back.  Exact id/score parity with the pair
 # loop.  Kept as an experimental variant; the pair loop stays the default.
+#
+# bf16 + contraction-prefix rematch (10M items, 24 levels, batch 4096):
+# stride-2 hybrid 20.9ms vs pair hybrid 15.5ms (identical ids).  Halving
+# the deep-level gathers saves ~4ms, but the per-level grandchild selection
+# einsums inside the scan cost ~9ms — the selection apparatus, not the
+# gather, is the binding constraint at every scale tested.  RETIRED as a
+# serving candidate with this evidence; do not re-attempt without a cheaper
+# selection scheme.
 # ---------------------------------------------------------------------------
 
 
