@@ -126,6 +126,48 @@ def deep_catalog_bench() -> None:
     )
 
 
+def dr_deep_catalog_bench() -> None:
+    """1M-item Deep Retrieval device serving QPS (path-major block rerank)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dismember_tpu.data.dr_dataset import DRData
+    from dismember_tpu.retrieval.dr_serve import make_dr_serving_fn
+    from dismember_tpu.train.dr import DRTrainer
+
+    n, batch = 1_000_000, 4096
+    rng = np.random.default_rng(0)
+    data = DRData(
+        item_to_id={}, id_to_item={}, num_items=n,
+        train_seqs=rng.integers(0, n, size=(batch, 10)).astype(np.int64),
+        train_targets=rng.integers(0, n, size=batch).astype(np.int64),
+        eval_seqs=np.empty((0, 10), np.int64),
+        eval_labels=np.empty((0, 1), np.int64),
+        eval_users=np.empty((0,), np.int64), user_consumed={},
+    )
+    trainer = DRTrainer(
+        data, num_layers=3, num_nodes=100, num_paths_per_item=2,
+        embed_size=16, train_batch_size=batch * 2, num_sampled=8, seed=0,
+    )
+    fn = make_dr_serving_fn(trainer, beam=20, topk=10)
+    q = jnp.asarray(data.train_seqs[:batch], jnp.int32)
+    ms = device_time_ms(
+        lambda: fn(trainer.layer_params, trainer.rerank_params, q), iters=10
+    )
+    qps = batch / (ms / 1e3) if ms > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "dr_deep_catalog_serving_qps_1m_items",
+                "value": round(qps, 1),
+                "unit": "queries/s (D=3, K=100, J=2, beam=20, 1M items; xplane device time)",
+                "vs_baseline": round(qps / 57_700.0, 3),  # round-1 measured
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     import jax
 
@@ -220,4 +262,5 @@ if __name__ == "__main__":
     # (the driver's parsed record) for round-over-round comparability
     if os.environ.get("DISMEMBER_BENCH_DEEP", "1") != "0":
         deep_catalog_bench()
+        dr_deep_catalog_bench()
     main()
