@@ -32,55 +32,69 @@ import numpy as np
 from devtime import device_time_ms
 
 # Round-1 measured values (BASELINE.md) — the depth-regime numbers future
-# rounds must beat; vs_baseline for the deep rows is measured/these.
+# rounds must beat; vs_baseline for each deep row is measured/this at the
+# SAME catalog scale (a 1M-item rows/s over a 10M-item baseline would be
+# inflated by the O(table) dense-Adam cost difference, not real progress).
 R01_DEEP_QPS_1M = 50_000.0
 R01_TRAIN_ROWS_10M = 108_000.0
 
 
-def deep_catalog_bench() -> None:
-    """1M-item synthetic catalog (20 levels): beam QPS + train rows/s.
-
-    Captures the depth regime (24 sequential level dispatches at 10M in
-    BASELINE.md) in the driver-recorded bench so round-over-round regressions
-    at depth are visible, not just the 3.3k-item headline."""
+def _deep_tree(n_items: int):
     import tempfile
-
-    import jax
-    import jax.numpy as jnp
 
     from dismember_tpu.index.arraytree import ArrayTree
     from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+
+    ids = np.arange(1, n_items + 1)
+    sorted_ids, codes = category_sorted_codes(ids, ids % 97)
+    with tempfile.TemporaryDirectory() as td:
+        tree_path = os.path.join(td, "deep_tree.bin")
+        write_tree(tree_path, sorted_ids, codes)
+        return ArrayTree.from_file(tree_path)
+
+
+def _deep_trainer(tree):
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    neg_counts = ",".join(
+        str(min(i, 2**i - 1)) for i in range(tree.max_level + 1)
+    )
+    return TDMTrainer(
+        tree=tree, model_type="din", embed_size=16,
+        layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=0,
+    )
+
+
+def deep_catalog_bench() -> None:
+    """Depth-regime rows: 10M-item train rows/s + 1M-item serving QPS.
+
+    Captures the deep-catalog regime (24 sequential level dispatches,
+    O(table) optimizer traffic — BASELINE.md) in the driver-recorded bench so
+    round-over-round regressions at depth are visible, not just the 3.3k-item
+    headline.  Each row's vs_baseline divides by the round-1 measurement at
+    the same catalog size."""
+    import jax
+    import jax.numpy as jnp
+
     from dismember_tpu.models import din
     from dismember_tpu.retrieval.packed_beam import (
         make_hybrid_beam_fn,
         make_packed_tree,
     )
-    from dismember_tpu.train.tdm import TDMTrainer
-
-    n_items = 1_000_000
-    ids = np.arange(1, n_items + 1)
-    cats = ids % 97
-    sorted_ids, codes = category_sorted_codes(ids, cats)
-    with tempfile.TemporaryDirectory() as td:
-        tree_path = os.path.join(td, "deep_tree.bin")
-        write_tree(tree_path, sorted_ids, codes)
-        tree = ArrayTree.from_file(tree_path)
-
-    neg_counts = ",".join(
-        str(min(i, 2**i - 1)) for i in range(tree.max_level + 1)
-    )
-    trainer = TDMTrainer(
-        tree=tree, model_type="din", embed_size=16,
-        layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=0,
-    )
 
     rng = np.random.default_rng(0)
-    # --- train rows/s (expanded rows = targets * sampler unit) ------------
+
+    # --- train rows/s at 10M items (expanded rows = targets * unit) -------
+    # 10M matches R01_TRAIN_ROWS_10M's scale; this is the regime where the
+    # lazy row-sparse Adam path (train/sparse_adam.py) carries the win.
+    n_train = 10_000_000
+    tree = _deep_tree(n_train)
+    trainer = _deep_trainer(tree)
     b = trainer.num_targets_per_batch
-    seqs = rng.integers(1, n_items + 1, size=(b, 10))
-    targets = rng.integers(1, n_items + 1, size=b)
-    sc = jnp.asarray(tree.ids_to_codes(seqs))
-    tc = jnp.asarray(tree.ids_to_codes(targets))
+    sc = jnp.asarray(
+        tree.ids_to_codes(rng.integers(1, n_train + 1, size=(b, 10)))
+    )
+    tc = jnp.asarray(tree.ids_to_codes(rng.integers(1, n_train + 1, size=b)))
     key = jax.random.PRNGKey(1)
 
     def train_thunk():
@@ -91,17 +105,33 @@ def deep_catalog_bench() -> None:
 
     step_ms = device_time_ms(train_thunk, iters=10)
     rows_per_s = b * trainer.sampler.unit / (step_ms / 1e3)
+    print(
+        json.dumps(
+            {
+                "metric": "tdm_deep_catalog_train_rows_per_s_10m_items",
+                "value": round(rows_per_s, 1),
+                "unit": "expanded rows/s (10M items, full train step; xplane device time)",
+                "vs_baseline": round(rows_per_s / R01_TRAIN_ROWS_10M, 3),
+            }
+        ),
+        flush=True,
+    )
+    del trainer, tree, sc, tc  # release the 10M-scale device buffers
 
-    # --- serving QPS (hybrid packed loop — the serving default) -----------
+    # --- serving QPS at 1M items (hybrid packed loop — serving default) ---
+    n_serve = 1_000_000
+    tree = _deep_tree(n_serve)
+    trainer = _deep_trainer(tree)
     packed = make_packed_tree(tree, trainer.params["embedding"], beam=20)
     beam_fn = make_hybrid_beam_fn(
         packed, din.precompute_seq, din.apply_from_emb
     )
-    seq_codes = tree.ids_to_codes(rng.integers(1, n_items + 1, size=(4096, 10)))
+    seq_codes = tree.ids_to_codes(
+        rng.integers(1, n_serve + 1, size=(4096, 10))
+    )
     x = jnp.asarray(seq_codes)
     beam_ms = device_time_ms(lambda: beam_fn(trainer.params, x), iters=10)
     qps = len(seq_codes) / (beam_ms / 1e3)
-
     print(
         json.dumps(
             {
@@ -109,17 +139,6 @@ def deep_catalog_bench() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s (beam=20, 1M items, 20 levels; xplane device time)",
                 "vs_baseline": round(qps / R01_DEEP_QPS_1M, 3),
-            }
-        ),
-        flush=True,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "tdm_deep_catalog_train_rows_per_s_1m_items",
-                "value": round(rows_per_s, 1),
-                "unit": "expanded rows/s (1M items, full train step; xplane device time)",
-                "vs_baseline": round(rows_per_s / R01_TRAIN_ROWS_10M, 3),
             }
         ),
         flush=True,

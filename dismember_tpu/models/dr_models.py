@@ -256,7 +256,11 @@ def sample_negatives(
     arange = jnp.arange(m)[None, :]
     rank = jnp.where(ok, arange, m + arange)
     order = jnp.argsort(rank, axis=1)[:, :num_sampled]
-    return jnp.take_along_axis(cand, order, axis=1)
+    # int32 one-hot contraction, not take_along_axis: the latter compiles to
+    # a pathological scalar gather on TPU and this runs every rerank step
+    from dismember_tpu.retrieval.tree_beam import onehot_select
+
+    return onehot_select(cand, order)
 
 
 def sampled_softmax_loss(

@@ -127,11 +127,13 @@ def build_pair_table(
     exists lanes at query time).
 
     ``dtype=jnp.bfloat16`` halves HBM (8.6GB -> 4.3GB at 10M items): emb
-    lanes are rounded to bf16 (the MXU rounds matmul operands to bf16
-    anyway, so scorers that only matmul the candidate embedding — DIN,
-    DeepFM — produce identical scores on TPU), exists is 0/1 (exact), and
-    ids are stored as 4 base-256 digits per child (every digit an exact
-    bf16 integer)."""
+    lanes are rounded to bf16 — score-identical on TPU only for scorers
+    that consume the candidate embedding exclusively through matmuls (DIN:
+    the MXU rounds matmul operands to bf16 anyway; train.tdm.
+    MATMUL_FIRST_SCORERS).  DeepFM's FM term is elementwise f32 VPU math
+    and DOES see the rounding — serving auto-selection keeps f32 for it.
+    exists is 0/1 (exact), and ids are stored as 4 base-256 digits per
+    child (every digit an exact bf16 integer)."""
     n_pairs = (total_codes - 1) // 2
     e = embedding.shape[1]
     k, base = _id_layout(dtype)
@@ -222,57 +224,15 @@ def beam_search_packed(
 
     Same contract as tree_beam.beam_search_batch: non-existent leaves carry
     id -1 and score -inf.
+
+    Implemented as :func:`beam_search_hybrid` with zero contraction levels —
+    the gather level body (ONE pair-table row gather per level: both child
+    embeddings + exists + id digit lanes) lives in one place.
     """
-    b = seq_codes.shape[0]
-    beam = cfg.beam
-    width = 2 * beam
-    e = embed_size
-    n_pairs = pair_table.shape[0]
-    k, base = _id_layout(pair_table.dtype)
-
-    ctx = precompute(params, seq_codes)
-
-    frontier = jnp.broadcast_to(
-        jnp.asarray(cfg.start_codes_padded, dtype=jnp.int32), (b, width)
+    return beam_search_hybrid(
+        apply_from_emb, params, seq_codes, pair_table, embed_size, cfg,
+        precompute, max_contract_rows=0,
     )
-    valid = frontier >= 0
-    scores = jnp.where(valid, 0.0, _NEG_INF).astype(jnp.float32)
-    # id digit lanes of the current frontier; only read at the bottom.
-    # Initialized to the digits of -1 (decodes to -1 if never overwritten).
-    ids_digits = jnp.broadcast_to(
-        jnp.asarray(_encode_id_digits(np.asarray([-1]), k, base)[0]),
-        (b, width, k),
-    )
-
-    def level_body(carry, _):
-        frontier, scores, _ids = carry
-        top_scores, top_idx = jax.lax.top_k(scores, beam)  # [B, beam]
-        top_codes = onehot_select(frontier, top_idx)  # [B, beam]
-        top_alive = top_scores > _NEG_INF / 2
-        # ONE gather: everything about both children of each top node
-        rows = pair_table[jnp.clip(top_codes, 0, n_pairs - 1)].astype(
-            jnp.float32
-        )  # bf16 tables upcast post-gather (fused into the consumers)
-        emb = rows[..., : 2 * e].reshape(b, width, e)
-        exists = rows[..., 2 * e : 2 * e + 2].reshape(b, width) > 0
-        child_digits = rows[..., 2 * e + 2 : 2 * e + 2 + 2 * k].reshape(
-            b, width, k
-        )
-        alive = exists & jnp.repeat(top_alive, 2, axis=1)
-        children = jnp.stack(
-            [2 * top_codes + 1, 2 * top_codes + 2], axis=-1
-        ).reshape(b, width)
-        logits = apply_from_emb(params, emb, ctx)
-        return (children, jnp.where(alive, logits, _NEG_INF), child_digits), None
-
-    n_levels = cfg.max_level - cfg.start_level
-    (frontier, scores, ids_digits), _ = jax.lax.scan(
-        level_body, (frontier, scores, ids_digits), None, length=n_levels
-    )
-
-    ids = _decode_id_digits(ids_digits, base)
-    leaf_ok = scores > _NEG_INF / 2
-    return jnp.where(leaf_ok, ids, -1), scores
 
 
 def make_packed_beam_fn(
@@ -762,7 +722,12 @@ def beam_search_hybrid(
     max_contract_rows: int = 8192,
     contract_prefix: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Same contract (and bitwise-same results) as beam_search_packed.
+    """Same contract as beam_search_packed; bitwise-same results for
+    matmul-first scorers (train.tdm.MATMUL_FIRST_SCORERS).  The contraction
+    einsum's operands are rounded to bf16 by the TPU MXU, which is invisible
+    to scorers that immediately matmul the embedding (DIN) but perturbs
+    elementwise-f32 scorers (DeepFM's FM term) — those must pass
+    ``max_contract_rows=0`` (pure gather; callers in serving.py/otm.py do).
 
     ``max_contract_rows=8192`` is the measured v5e crossover (1M items,
     batch 4096, beam 20): 12.4ms/batch vs 19.3ms all-gather — the

@@ -19,7 +19,7 @@ from dismember_tpu.core.checkpoint import load_meta, load_pytree
 class TDMServing:
     def __init__(self, params, forward, tree, precompute=None, apply=None,
                  apply_emb=None, packed: bool | None = None,
-                 packed_dtype: str | None = None,
+                 packed_dtype: str | None = None, model_type: str | None = None,
                  topk: int = 10, candidate_num: int = 20):
         self.params = params
         self.forward = forward
@@ -34,9 +34,15 @@ class TDMServing:
         self.packed = packed
         # pair-table lane dtype: "float32" | "bfloat16" | None = auto
         # (bf16 when the f32 table would exceed _BF16_TABLE_BYTES — halves
-        # HBM at 10M-item catalogs, identical scores on TPU since the MXU
-        # rounds matmul operands to bf16 either way)
+        # HBM at 10M-item catalogs; score-identical on TPU ONLY for
+        # matmul-first scorers, where the MXU rounds operands to bf16
+        # either way.  DeepFM's FM term is elementwise f32, so auto keeps
+        # f32 for it; pass packed_dtype="bfloat16" to accept the rounding.)
         self.packed_dtype = packed_dtype
+        # model name ("din"/"deepfm") when known: gates the bf16/contraction
+        # exactness shortcuts above.  None (direct construction) is treated
+        # as matmul-first, matching the din-based fns tests/benches pass in.
+        self.model_type = model_type
         self.topk = topk
         self.candidate_num = candidate_num
         self._beam_fns: dict[int, object] = {}
@@ -60,6 +66,7 @@ class TDMServing:
         params = load_pytree(model_path, params_like)
         pre, app = serving_fns(meta["model"])
         _, app_emb = packed_fns(meta["model"])
+        kwargs.setdefault("model_type", meta["model"])
         return cls(params, forward, tree, precompute=pre, apply=app,
                    apply_emb=app_emb, **kwargs)
 
@@ -88,6 +95,14 @@ class TDMServing:
         cfg = make_config(self.tree, cn)
         return self.tree.max_level >= 8 and cfg.max_level - cfg.start_level >= 1
 
+    def _matmul_first(self) -> bool:
+        """True when bf16 lanes / contraction einsums cannot change scores
+        (see train.tdm.MATMUL_FIRST_SCORERS).  Unknown model_type (direct
+        construction) keeps the historical matmul-first behavior."""
+        from dismember_tpu.train.tdm import MATMUL_FIRST_SCORERS
+
+        return self.model_type is None or self.model_type in MATMUL_FIRST_SCORERS
+
     def _beam_fn(self, cn: int):
         if cn not in self._beam_fns:
             if self._use_packed(cn):
@@ -109,7 +124,9 @@ class TDMServing:
                         n_pairs = (self.tree.total_codes - 1) // 2
                         rw = ((2 * e + 6 + 127) // 128) * 128
                         f32_bytes = n_pairs * rw * 4
-                        dt = (jnp.bfloat16 if f32_bytes > self._BF16_TABLE_BYTES
+                        dt = (jnp.bfloat16
+                              if f32_bytes > self._BF16_TABLE_BYTES
+                              and self._matmul_first()
                               else jnp.float32)
                     self._pair_table = build_pair_table(
                         self.params["embedding"], self.tree.node_exists,
@@ -121,9 +138,13 @@ class TDMServing:
                     cfg=make_config(self.tree, cn),
                 )
                 # hybrid = packed + contraction for the shallow levels;
-                # exact parity, 19.3 -> 12.4 ms/batch at 1M items
+                # exact parity for matmul-first scorers, 19.3 -> 12.4
+                # ms/batch at 1M items.  Elementwise-f32 scorers (deepfm)
+                # skip contraction: the einsum rounds operands to bf16 on
+                # TPU, which their FM term would see.
                 self._beam_fns[cn] = make_hybrid_beam_fn(
-                    packed, self.precompute, self.apply_emb
+                    packed, self.precompute, self.apply_emb,
+                    max_contract_rows=8192 if self._matmul_first() else 0,
                 )
             else:
                 from dismember_tpu.retrieval.tree_beam import make_beam_fn

@@ -459,7 +459,16 @@ class OTMTrainer:
             pair_table=table, embed_size=self.embed_size, cfg=cfg
         )
         pre, app = packed_fns(self.model_type)
-        fn = make_hybrid_beam_fn(packed, pre, app)
+        from dismember_tpu.train.tdm import MATMUL_FIRST_SCORERS
+
+        # contraction einsums round operands to bf16 on TPU — exact only
+        # for matmul-first scorers (see serving.TDMServing._matmul_first)
+        fn = make_hybrid_beam_fn(
+            packed, pre, app,
+            max_contract_rows=(
+                8192 if self.model_type in MATMUL_FIRST_SCORERS else 0
+            ),
+        )
         self._packed_cache = (self.params, fn)
         return fn
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dismember_tpu.index.arraytree import ArrayTree
+from dismember_tpu.retrieval.tree_beam import onehot_select
 
 _NEG_INF = -1e30
 
@@ -185,8 +186,11 @@ class TreeSampler:
             ok_strict, arange, jnp.where(ok_relaxed, m + arange, 2 * m + arange)
         )
         order = jnp.argsort(rank, axis=1)[:, :neg]
-        picked_ok = jnp.take_along_axis(ok_relaxed, order, axis=1)
-        picked = jnp.take_along_axis(cand, order, axis=1)
+        # int32 one-hot contractions (exact, VPU) — take_along_axis hits the
+        # scalar-gather path on TPU and this runs inside every train step at
+        # >2^18-leaf levels
+        picked_ok = onehot_select(ok_relaxed.astype(jnp.int32), order) > 0
+        picked = onehot_select(cand, order)
         return jnp.where(picked_ok, picked, -1), picked_ok.astype(jnp.float32)
 
     def device_state(self):

@@ -68,6 +68,15 @@ def packed_fns(model_type: str):
     return mod.precompute_seq, mod.apply_from_emb
 
 
+# Scorers whose every use of the candidate embedding flows through a matmul
+# (the MXU rounds matmul operands to bf16, so bf16 pair-table lanes and the
+# hybrid beam's contraction einsum are score-invisible for them).  DeepFM is
+# NOT in this set: its FM term is elementwise f32 VPU math
+# (models/deepfm.py apply_from_emb), so bf16-rounded embeddings perturb its
+# scores — deepfm serving keeps f32 tables and skips contraction levels.
+MATMUL_FIRST_SCORERS = frozenset({"din"})
+
+
 @dataclasses.dataclass
 class TDMTrainer:
     tree: ArrayTree

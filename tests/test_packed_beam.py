@@ -383,3 +383,32 @@ def test_stride2_hybrid_matches_classic(tree, dtype):
         alive = ids_p >= 0
         np.testing.assert_allclose(sc_h[alive], sc_p[alive], rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_deepfm_serving_gates_inexact_shortcuts(tree):
+    """DeepFM's FM term is elementwise f32 VPU math, so serving must not
+    route it through the hybrid contraction einsum or auto-bf16 pair lanes
+    (both round operands to bf16 on TPU — invisible to matmul-first DIN,
+    score-changing for DeepFM)."""
+    from dismember_tpu.serving import TDMServing
+
+    num_index = tree.total_codes
+    params = deepfm.init_params(jax.random.PRNGKey(3), num_index, 8, seq_len=6)
+    kw = dict(
+        params=params, forward=deepfm.forward, tree=tree,
+        precompute=deepfm.precompute_seq, apply=deepfm.apply_with_ctx,
+        apply_emb=deepfm.apply_from_emb, topk=5, candidate_num=4,
+    )
+    assert not TDMServing(model_type="deepfm", **kw)._matmul_first()
+    assert TDMServing(model_type="din", **kw)._matmul_first()
+    # unknown model keeps the historical matmul-first defaults
+    assert TDMServing(**kw)._matmul_first()
+
+    # the gated (gather-only hybrid, f32) packed path matches classic
+    classic = TDMServing(packed=False, model_type="deepfm", **kw)
+    packed = TDMServing(packed=True, model_type="deepfm", **kw)
+    seqs = np.asarray(
+        np.random.default_rng(2).choice(tree.item_ids, size=(3, 6)))
+    for a, b in zip(classic.recommend_batch(seqs),
+                    packed.recommend_batch(seqs)):
+        np.testing.assert_array_equal(a, b)
