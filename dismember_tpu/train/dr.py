@@ -168,11 +168,47 @@ class DRTrainer:
         return self._layer_losses_of(params, seqs, paths)
 
     def _layer_step_impl(self, params, opt_state, seqs, paths):
-        def loss_fn(p):
-            losses = self._layer_losses_of(p, seqs, paths)
+        """Dense layer step with a single-gather forward.
+
+        Differentiating the naive forward (layer_forward_training) scatters
+        the embedding gradient once per gather site — two O(table) scatter
+        passes (seq rows + prefix rows) that the Adam fusion then reads
+        separately (xplane: 7.1 ms of 18.9 at 10M items).  Gathering all rows
+        through ONE flat index vector yields one scatter and one dense-grad
+        read; the summed-gradient and optax.adam math are unchanged."""
+        table = params["embedding"]
+        b, l = seqs.shape
+        j = paths.shape[1]
+        nd = self.num_layers - 1
+        offsets = self.data.num_items + jnp.arange(
+            max(nd, 1), dtype=paths.dtype
+        ) * self.num_nodes
+        prefix_ids = (paths[:, :, :nd] + offsets[:nd]).reshape(-1)
+        flat = jnp.concatenate([seqs.reshape(-1), prefix_ids])
+        valid = flat >= 0
+        safe = jnp.where(valid, flat, 0)
+        rows = table[safe]
+        rows = rows * valid[:, None].astype(rows.dtype)
+
+        def loss_fn(rows_in, heads_in):
+            seq_e = rows_in[: b * l].reshape(b, l, -1)
+            prefix_e = rows_in[b * l :].reshape(b, j, nd, -1)
+            logits = dr_models.layer_logits_from_emb(
+                heads_in["heads"], seq_e, prefix_e, self.num_nodes
+            )
+            losses = []
+            for d in range(self.num_layers):
+                lf = logits[d].reshape(-1, self.num_nodes)
+                losses.append(cross_entropy(lf, paths[:, :, d].reshape(-1)))
+            losses = jnp.stack(losses)
             return jnp.sum(losses), losses
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, losses), (g_rows, g_heads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, {"heads": params["heads"]})
+        g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+        g_table = jnp.zeros_like(table).at[safe].add(g_rows)
+        grads = {"embedding": g_table, "heads": g_heads["heads"]}
         updates, new_opt = self.layer_opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, losses
 

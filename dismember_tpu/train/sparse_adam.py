@@ -55,11 +55,44 @@ def sparse_worthwhile(table_rows: int, touched_rows_per_step: int) -> bool:
     )
 
 
-def init_state(table: jnp.ndarray, mu_dtype=jnp.float32) -> dict:
+def _packed_slots(embed_dim: int) -> int:
+    """Logical rows per 128-lane physical row of the packed m|v table
+    (0 = packing not applicable for this width)."""
+    if embed_dim <= 0 or 128 % (2 * embed_dim) != 0:
+        return 0
+    return 128 // (2 * embed_dim)
+
+
+def init_state(
+    table: jnp.ndarray, mu_dtype=jnp.float32, packed: bool | None = None
+) -> dict:
     """Adam moment tables + step count for one embedding table.
 
     Moments are kept in ``mu_dtype`` (f32 by default, also under bf16
-    params — mirroring the dense path's ``optax.adam(mu_dtype=f32)``)."""
+    params — mirroring the dense path's ``optax.adam(mu_dtype=f32)``).
+
+    When the embed width divides a 128-lane row (E in {64, 32, 16, ...}) and
+    moments are f32, m and v are stored interleaved in ONE [P, 128] physical
+    table (logical row r keeps m|v at lanes [(r%S)*2E, (r%S+1)*2E) of
+    physical row r//S, plus one sacrificial scratch row at P-1).  Same bytes
+    as split m/v, but the per-step update becomes one 128-lane row gather +
+    one Pallas DMA row write (ops/row_writer.py, ~30ns/row) instead of two
+    ~100ns/row XLA scatters — the dominant cost of this step at catalog
+    scale.  ``packed=None`` auto-selects; split format keeps exact backward
+    compatibility for other widths/dtypes.
+    """
+    v_rows, e = table.shape
+    s = _packed_slots(e)
+    if packed is None:
+        packed = s > 0 and mu_dtype == jnp.float32
+    if packed:
+        if s == 0 or mu_dtype != jnp.float32:
+            raise ValueError(f"cannot pack moments for embed width {e}")
+        phys = -(-v_rows // s) + 1  # +1 sacrificial scratch row
+        return {
+            "mv": jnp.zeros((phys, 128), jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
     return {
         "m": jnp.zeros(table.shape, mu_dtype),
         "v": jnp.zeros(table.shape, mu_dtype),
@@ -110,6 +143,10 @@ def apply_rows(
     ``optax.adam``'s for the touched rows: m/v EMA, power bias correction,
     ``-lr * m_hat / (sqrt(v_hat) + eps)``.
     """
+    if "mv" in state:
+        return _apply_rows_packed(
+            table, state, flat_codes, g_rows, lr, b1, b2, eps
+        )
     codes_u, g, live = dedup_rows(flat_codes, g_rows)
     g = g.astype(state["m"].dtype)
     safe = jnp.where(live, codes_u, 0)
@@ -131,3 +168,83 @@ def apply_rows(
     new_m = state["m"].at[safe].add(jnp.where(livef, m_new - m_rows, 0.0))
     new_v = state["v"].at[safe].add(jnp.where(livef, v_new - v_rows, 0.0))
     return new_table, {"m": new_m, "v": new_v, "count": count}
+
+
+def _bitcast_i32(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _bitcast_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _apply_rows_packed(
+    table, state, flat_codes, g_rows, lr, b1, b2, eps, use_pallas=None
+):
+    """Packed-moments variant: one 128-lane gather + one Pallas row write.
+
+    Exact same per-row Adam math as the split path.  All f32 payloads that
+    move through one-hot selections are routed as int32 bitpatterns (TPU
+    default dot precision rounds f32 operands to bf16 — CLAUDE.md); int32
+    contractions on the VPU are exact, and lanes not selected contribute
+    int32 zeros (== f32 +0.0), so every merge below is bit-exact.
+    """
+    from dismember_tpu.ops.row_writer import write_rows_128
+
+    e = table.shape[1]
+    s_per = _packed_slots(e)
+    mv = state["mv"]
+    phys_rows = mv.shape[0]  # includes the scratch row at phys_rows-1
+    codes_u, g, live = dedup_rows(flat_codes, g_rows)
+    r = codes_u.shape[0]
+    count = state["count"] + 1
+    cf = count.astype(jnp.float32)
+
+    safe_codes = jnp.where(live, codes_u, 0)
+    phys = jnp.where(live, safe_codes // s_per, phys_rows - 1)
+    slot = jnp.where(live, safe_codes % s_per, 0)
+    rows128 = mv[phys]  # [R, 128] one gather covers m and v
+    oh = (slot[:, None] == jnp.arange(s_per)[None, :]).astype(jnp.int32)
+
+    # exact slot extraction: int32 one-hot contraction over the S slots
+    ri = _bitcast_i32(rows128).reshape(r, s_per, 2 * e)
+    old = _bitcast_f32(jnp.einsum("rse,rs->re", ri, oh))
+    m_rows, v_rows = old[:, :e], old[:, e:]
+
+    g = g.astype(jnp.float32)
+    m_new = b1 * m_rows + (1.0 - b1) * g
+    v_new = b2 * v_rows + (1.0 - b2) * (g * g)
+    m_hat = m_new / (1.0 - jnp.power(b1, cf))
+    v_hat = v_new / (1.0 - jnp.power(b2, cf))
+    upd = (m_hat / (jnp.sqrt(v_hat) + eps)) * (-lr)
+
+    # place m_new|v_new back into this row's slot lanes (int32-exact), then
+    # combine the slots that share a physical row (slots are disjoint, so
+    # int32 sums of their expansions never collide)
+    payload = _bitcast_i32(jnp.concatenate([m_new, v_new], axis=1))
+    expanded = jnp.einsum("re,rs->rse", payload, oh).reshape(r, 128)
+    mask128 = jnp.repeat(oh, 2 * e, axis=1)  # [R, 128]
+    startp = jnp.concatenate(
+        [jnp.ones((1,), bool), phys[1:] != phys[:-1]]
+    )
+    segp = jnp.cumsum(startp) - 1
+    upd_sum = jax.ops.segment_sum(expanded, segp, num_segments=r)
+    mask_sum = jax.ops.segment_sum(mask128, segp, num_segments=r)
+    # all occurrences of a physical row gathered identical bytes, so a
+    # segment_max over the bitpatterns reproduces the old row exactly
+    old_seg = jax.ops.segment_max(_bitcast_i32(rows128), segp, num_segments=r)
+    new_rows = jnp.where(
+        mask_sum > 0, _bitcast_f32(upd_sum), _bitcast_f32(old_seg)
+    )
+    phys_u = jax.ops.segment_max(phys, segp, num_segments=r)
+    phys_w = jnp.where(phys_u >= 0, phys_u, phys_rows - 1)
+    # empty segments (and the padding segment) target the scratch row with
+    # whatever payload; live physical rows are unique within phys_w
+    new_rows = jnp.where((phys_w == phys_rows - 1)[:, None], 0.0, new_rows)
+    new_mv = write_rows_128(mv, phys_w, new_rows, use_pallas=use_pallas)
+
+    livef = live[:, None]
+    new_table = table.at[safe_codes].add(
+        jnp.where(livef, upd, 0.0).astype(table.dtype)
+    )
+    return new_table, {"mv": new_mv, "count": count}

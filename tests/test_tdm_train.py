@@ -230,7 +230,8 @@ def test_sparse_with_bf16_table(pipeline):
         sparse_embed_update=True, embed_dtype=jnp.bfloat16,
     )
     assert trainer.params["embedding"].dtype == jnp.bfloat16
-    assert trainer.opt_state[1]["m"].dtype == jnp.float32
+    moments = trainer.opt_state[1]
+    assert moments.get("m", moments.get("mv")).dtype == jnp.float32
     logs = trainer.train(
         samples.train_seqs, samples.train_targets, iterations=40,
         progress_interval=20,
