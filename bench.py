@@ -146,7 +146,8 @@ def deep_catalog_bench() -> None:
 
 
 def dr_deep_catalog_bench() -> None:
-    """1M-item Deep Retrieval device serving QPS (path-major block rerank)."""
+    """1M-item Deep Retrieval device serving QPS (path-major block rerank)
+    and 10M-item E-step training rows/s (p|m|v packed sparse Adam)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,6 +182,60 @@ def dr_deep_catalog_bench() -> None:
                 "value": round(qps, 1),
                 "unit": "queries/s (D=3, K=100, J=2, beam=20, 1M items; xplane device time)",
                 "vs_baseline": round(qps / 57_700.0, 3),  # round-1 measured
+            }
+        ),
+        flush=True,
+    )
+    del trainer, fn, q, data
+
+    # --- E-step train rows/s at 10M items (layer + rerank step) -----------
+    # The regime where the p|m|v packed sparse-Adam state carries the win
+    # (train/sparse_adam.pmv_*; round-1 could not train DR at this scale at
+    # all — the baseline is round 2's measured dense number).
+    n = 10_000_000
+    data = DRData(
+        item_to_id={}, id_to_item={}, num_items=n,
+        train_seqs=rng.integers(0, n, size=(batch, 10)).astype(np.int64),
+        train_targets=rng.integers(0, n, size=batch).astype(np.int64),
+        eval_seqs=np.empty((0, 10), np.int64),
+        eval_labels=np.empty((0, 1), np.int64),
+        eval_users=np.empty((0,), np.int64), user_consumed={},
+    )
+    trainer = DRTrainer(
+        data, num_layers=3, num_nodes=100, num_paths_per_item=2,
+        embed_size=16, train_batch_size=batch * 2, num_sampled=8, seed=0,
+    )
+    seqs = jnp.asarray(data.train_seqs, jnp.int32)
+    paths = jnp.asarray(
+        trainer.path_index.item_paths[data.train_targets], jnp.int32
+    )
+    labels = jnp.asarray(data.train_targets, jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    def estep_thunk():
+        trainer.layer_params, trainer.layer_opt_state, losses = (
+            trainer._layer_step(
+                trainer.layer_params, trainer.layer_opt_state, seqs, paths
+            )
+        )
+        trainer.rerank_params, trainer.rerank_opt_state, rloss = (
+            trainer._rerank_step(
+                trainer.rerank_params, trainer.rerank_opt_state, key, seqs,
+                labels,
+            )
+        )
+        return rloss
+
+    step_ms = device_time_ms(estep_thunk, iters=10)
+    rows = batch * 2  # sample x path expanded rows per step
+    rows_per_s = rows / (step_ms / 1e3) if step_ms > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "dr_deep_catalog_train_rows_per_s_10m_items",
+                "value": round(rows_per_s, 1),
+                "unit": "expanded rows/s (10M items, layer+rerank E-step; xplane device time)",
+                "vs_baseline": round(rows_per_s / 181_000.0, 3),  # round-2 dense
             }
         ),
         flush=True,

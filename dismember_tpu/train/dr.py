@@ -112,7 +112,51 @@ class DRTrainer:
             self._sparse = sparse_worthwhile(
                 data.num_items + num_nodes * (num_layers - 1), touched
             )
-        if self._sparse:
+        # pmv mode: params + moments share one 128-lane packed row, so the
+        # whole table update is one gather + one Pallas row write (no XLA
+        # scatter).  self.layer_params / self.rerank_params stay valid [V, E]
+        # mirrors for every consumer outside the train loop; _sync_mirrors()
+        # re-materializes them from the packed state at epoch/eval/train-end
+        # boundaries, and train() re-packs if a mirror was externally
+        # replaced (load_pytree and friends).
+        from dismember_tpu.train.sparse_adam import pmv_slots
+
+        self._pmv = (
+            self._sparse
+            and pmv_slots(embed_size) > 0
+            and pmv_slots(embed_size + 1) > 0
+        )
+        self._mirrors_stale = False
+        if self._pmv:
+            from dismember_tpu.train import sparse_adam
+
+            self.layer_opt_state = (
+                self.layer_opt.init({"heads": self.layer_params["heads"]}),
+                sparse_adam.pmv_init(self.layer_params["embedding"]),
+            )
+            # softmax weights and bias train as ONE [V, E+1] packed table:
+            # they share candidate codes, so folding the bias into the w
+            # rows removes a pathological 1-D [num_items] gather + scatter
+            # + dense Adam pass from every rerank step (xplane: ~4.7ms of
+            # the 10M-item step)
+            self.rerank_opt_state = (
+                self.rerank_opt.init({"linear": self.rerank_params["linear"]}),
+                sparse_adam.pmv_init(self.rerank_params["embedding"]),
+                sparse_adam.pmv_init(self._wb_mirror()),
+            )
+            self._layer_step_pmv = jax.jit(
+                self._layer_step_pmv_impl, donate_argnums=(0, 1)
+            )
+            self._rerank_step_pmv = jax.jit(
+                self._rerank_step_pmv_impl, donate_argnums=(0, 1)
+            )
+            self._layer_step = self._layer_step_pmv_wrap
+            self._rerank_step = self._rerank_step_pmv_wrap
+            # chunked + internally jitted (donated buffers) — do not re-jit:
+            # a whole-table one-shot program OOMs at 10M items (CLAUDE.md)
+            self._pmv_unpack = sparse_adam.pmv_unpack
+            self._pmv_refresh = sparse_adam.pmv_refresh
+        elif self._sparse:
             from dismember_tpu.train import sparse_adam
 
             self.layer_opt_state = (
@@ -144,6 +188,7 @@ class DRTrainer:
             self._rerank_step = jax.jit(
                 self._rerank_step_impl, donate_argnums=(0, 1)
             )
+        self._embed_size = embed_size
         self._layer_losses = jax.jit(self._layer_losses_impl)
         self._rerank_full_loss = jax.jit(
             lambda p, seqs, labels: dr_models.full_softmax_loss(
@@ -326,6 +371,185 @@ class DRTrainer:
         }
         return new_params, (new_rest_opt, new_emb_opt, new_w_opt), loss
 
+    # --- pmv (packed p|m|v rows) variants: zero-scatter table updates ----
+    def _layer_step_pmv_impl(self, heads_params, opt_state, seqs, paths):
+        """Layer step against the packed p|m|v embedding state.
+
+        Identical forward math and gradients to _layer_step_sparse_impl —
+        the rows enter the loss as materialized [R, E] leaves either way;
+        only the storage they are gathered from and written back to differs
+        (one Pallas row write instead of a ~100ns/row XLA scatter)."""
+        from dismember_tpu.train import sparse_adam
+
+        heads_opt, emb_pmv = opt_state
+        e = self._embed_size
+        b, l = seqs.shape
+        j = paths.shape[1]
+        nd = self.num_layers - 1
+        offsets = self.data.num_items + jnp.arange(
+            max(nd, 1), dtype=paths.dtype
+        ) * self.num_nodes
+        prefix_ids = (paths[:, :, :nd] + offsets[:nd]).reshape(-1)
+        flat = jnp.concatenate([seqs.reshape(-1), prefix_ids])
+        valid = flat >= 0
+        rows = sparse_adam.pmv_gather(
+            emb_pmv["pmv"], jnp.where(valid, flat, 0), e
+        )
+        rows = rows * valid[:, None].astype(rows.dtype)
+
+        def loss_fn(rows_in, heads_in):
+            seq_e = rows_in[: b * l].reshape(b, l, -1)
+            prefix_e = rows_in[b * l :].reshape(b, j, nd, -1)
+            logits = dr_models.layer_logits_from_emb(
+                heads_in["heads"], seq_e, prefix_e, self.num_nodes
+            )
+            losses = []
+            for d in range(self.num_layers):
+                lf = logits[d].reshape(-1, self.num_nodes)
+                losses.append(cross_entropy(lf, paths[:, :, d].reshape(-1)))
+            losses = jnp.stack(losses)
+            return jnp.sum(losses), losses
+
+        (_, losses), (g_rows, g_heads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, heads_params)
+        updates, new_heads_opt = self.layer_opt.update(
+            g_heads, heads_opt, heads_params
+        )
+        new_heads = optax.apply_updates(heads_params, updates)
+        g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+        new_emb_pmv = sparse_adam.pmv_apply_rows(
+            emb_pmv, flat, g_rows, self.learning_rate
+        )
+        return new_heads, (new_heads_opt, new_emb_pmv), losses
+
+    def _layer_step_pmv_wrap(self, params, opt_state, seqs, paths):
+        new_heads, new_opt, losses = self._layer_step_pmv(
+            {"heads": params["heads"]}, opt_state, seqs, paths
+        )
+        self._mirrors_stale = True
+        return (
+            {"embedding": params["embedding"], "heads": new_heads["heads"]},
+            new_opt,
+            losses,
+        )
+
+    def _rerank_step_pmv_impl(self, rest, opt_state, key, seqs, labels):
+        """Rerank step on packed state: item embedding as a [V, E] p|m|v
+        table, softmax projection as ONE [V, E+1] p|m|v table whose last
+        param lane is the bias (bias gradient = d logits, appended as the
+        E+1-th gradient column — exactly the dense step's math)."""
+        from dismember_tpu.train import sparse_adam
+
+        rest_opt, emb_pmv, wb_pmv = opt_state
+        e = self._embed_size
+        b, l = seqs.shape
+        negs = dr_models.sample_negatives(
+            key, labels, self.data.num_items, self.num_sampled
+        )
+        cand = jnp.concatenate(
+            [labels[:, None].astype(negs.dtype), negs], axis=1
+        )  # [B, 1+S]
+        seq_flat = seqs.reshape(-1)
+        seq_valid = seq_flat >= 0
+        erows = sparse_adam.pmv_gather(
+            emb_pmv["pmv"], jnp.where(seq_valid, seq_flat, 0), e
+        )
+        erows = erows * seq_valid[:, None].astype(erows.dtype)
+        wbrows = sparse_adam.pmv_gather(
+            wb_pmv["pmv"], cand.reshape(-1), e + 1
+        ).reshape(b, cand.shape[1], e + 1)
+
+        def loss_fn(erows_in, wbrows_in, rest_in):
+            flat = erows_in.reshape(b, -1)
+            vec = flat @ rest_in["linear"]["weight"].T + rest_in["linear"]["bias"]
+            logits = (
+                jnp.einsum("be,bse->bs", vec, wbrows_in[..., :e])
+                + wbrows_in[..., e]
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(logp[:, 0])
+
+        loss, (g_e, g_wb, g_rest) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2)
+        )(erows, wbrows, rest)
+        updates, new_rest_opt = self.rerank_opt.update(g_rest, rest_opt, rest)
+        new_rest = optax.apply_updates(rest, updates)
+        g_e = g_e * seq_valid[:, None].astype(g_e.dtype)
+        new_emb_pmv = sparse_adam.pmv_apply_rows(
+            emb_pmv, seq_flat, g_e, self.learning_rate
+        )
+        new_wb_pmv = sparse_adam.pmv_apply_rows(
+            wb_pmv, cand.reshape(-1), g_wb.reshape(-1, e + 1),
+            self.learning_rate,
+        )
+        return new_rest, (new_rest_opt, new_emb_pmv, new_wb_pmv), loss
+
+    def _rerank_step_pmv_wrap(self, params, opt_state, key, seqs, labels):
+        rest = {"linear": params["linear"]}
+        new_rest, new_opt, loss = self._rerank_step_pmv(
+            rest, opt_state, key, seqs, labels
+        )
+        self._mirrors_stale = True
+        return (
+            {
+                "embedding": params["embedding"],
+                "linear": new_rest["linear"],
+                "softmax_w": params["softmax_w"],
+                "softmax_b": params["softmax_b"],
+            },
+            new_opt,
+            loss,
+        )
+
+    def _wb_mirror(self) -> jnp.ndarray:
+        """[V, E+1] softmax projection: weights with the bias as last lane."""
+        return jnp.concatenate(
+            [
+                self.rerank_params["softmax_w"],
+                self.rerank_params["softmax_b"][:, None],
+            ],
+            axis=1,
+        )
+
+    def _sync_mirrors(self) -> None:
+        """Re-materialize the [V, E] param mirrors from the packed p|m|v
+        state (no-op outside pmv mode or when already in sync)."""
+        if not getattr(self, "_pmv", False) or not self._mirrors_stale:
+            return
+        e = self._embed_size
+        emb_rows = self.data.num_items + self.num_nodes * (self.num_layers - 1)
+        self.layer_params["embedding"] = self._pmv_unpack(
+            self.layer_opt_state[1], emb_rows, e
+        )
+        self.rerank_params["embedding"] = self._pmv_unpack(
+            self.rerank_opt_state[1], self.data.num_items, e
+        )
+        wb = self._pmv_unpack(
+            self.rerank_opt_state[2], self.data.num_items, e + 1
+        )
+        self.rerank_params["softmax_w"] = wb[:, :e]
+        self.rerank_params["softmax_b"] = wb[:, e]
+        self._mirrors_stale = False
+
+    def _adopt_mirrors(self) -> None:
+        """Push externally-assigned param mirrors into the packed state's p
+        lanes (keeps moments).  Called at train() entry; when the packed
+        state is the newer side (_mirrors_stale), it is left untouched."""
+        if not getattr(self, "_pmv", False) or self._mirrors_stale:
+            return
+        heads_opt, emb_pmv = self.layer_opt_state
+        self.layer_opt_state = (
+            heads_opt,
+            self._pmv_refresh(emb_pmv, self.layer_params["embedding"]),
+        )
+        rest_opt, remb_pmv, wb_pmv = self.rerank_opt_state
+        self.rerank_opt_state = (
+            rest_opt,
+            self._pmv_refresh(remb_pmv, self.rerank_params["embedding"]),
+            self._pmv_refresh(wb_pmv, self._wb_mirror()),
+        )
+
     # ------------------------------------------------------------------
     def train(
         self,
@@ -336,6 +560,7 @@ class DRTrainer:
         """``rerank_epochs`` mirrors the reference's ``reRankStoppingEpoch``
         (dr LocalOptimizer.scala:35-38,88-96): rerank training stops after
         that many epochs while the layer model keeps training."""
+        self._adopt_mirrors()
         d = self.data
         n = len(d.train_seqs)
         rng = np.random.default_rng(self.seed)
@@ -391,10 +616,12 @@ class DRTrainer:
                 f"Epoch {epoch} time {time.perf_counter() - t0:.1f}s metrics {ev}"
             )
             results.append(ev)
+        self._sync_mirrors()
         return results
 
     # ------------------------------------------------------------------
     def beam_search_paths(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        self._sync_mirrors()
         paths, probs = path_beam_search(
             self.layer_params,
             jnp.asarray(seqs, jnp.int32),
@@ -450,6 +677,7 @@ class DRTrainer:
         from dismember_tpu.core.metrics import compute_metrics_batch
         from dismember_tpu.retrieval.dr_serve import make_dr_serving_fn
 
+        self._sync_mirrors()
         d = self.data
         m = len(d.eval_seqs)
         if m == 0:

@@ -26,6 +26,8 @@ each touched row gets exactly one Adam update on the summed gradient.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -34,24 +36,32 @@ import jax.numpy as jnp
 # TPU scatter costs ~100ns per updated row at every width (flags and
 # unique/sorted hints don't move it; Pallas per-row DMA can't beat it —
 # Mosaic requires 128-lane-aligned HBM slices, scripts/spike_pallas_scatter).
-# The sparse step does 3 scatters + sort/segment apparatus ≈ 350ns per
-# touched row; the dense step reads/writes params, both moments and the
-# dense gradient ≈ 0.8ns per table row at HBM bandwidth.
-_SPARSE_NS_PER_TOUCHED_ROW = 350.0
+# The packed-moments sparse step (one table scatter + one Pallas mv write +
+# sort/segment apparatus) measures ≈ 200ns per touched row (DR layer step at
+# 10M items: 11.3ms apparatus / 57k rows); the dense step reads/writes
+# params, both moments and the dense gradient ≈ 0.8ns per table row at HBM
+# bandwidth — PLUS the dense-grad scatter materialization, which costs the
+# same ~100ns per touched row (xplane: 5.7ms for 57k rows into [10M,16]
+# zeros).  Both sides scale with touched rows; only dense pays O(table).
+_SPARSE_NS_PER_TOUCHED_ROW = 200.0
 _DENSE_NS_PER_TABLE_ROW = 0.8
+_DENSE_NS_PER_TOUCHED_ROW = 100.0
 
 
 def sparse_worthwhile(table_rows: int, touched_rows_per_step: int) -> bool:
     """Cost-model decision for the auto mode: lazy sparse Adam wins when the
-    per-step scatter bill undercuts dense Adam's O(table) HBM traffic.
+    per-step scatter bill undercuts dense Adam's O(table) HBM traffic plus
+    its own dense-gradient scatter materialization.
 
     Verified against xplane device timings at 10M items: TDM (8.4k touched
-    rows / 33.5M-row table) sparse wins 28.6 -> 5.05 ms; DR's layer step at
-    batch 4096 (57k touched / 10M-row table) dense wins.
+    rows / 33.5M-row table) sparse wins 28.6 -> 5.05 ms; DR's E-step at
+    batch 4096 (57k touched / 10M-row table) sparse wins 45.2 -> 32.9 ms
+    (scripts/profile_dr_estep.py; the round-2 packed-moments path changed
+    the economics — the earlier 3-scatter sparse step lost this one).
     """
-    return (
-        touched_rows_per_step * _SPARSE_NS_PER_TOUCHED_ROW
-        < table_rows * _DENSE_NS_PER_TABLE_ROW
+    return touched_rows_per_step * _SPARSE_NS_PER_TOUCHED_ROW < (
+        table_rows * _DENSE_NS_PER_TABLE_ROW
+        + touched_rows_per_step * _DENSE_NS_PER_TOUCHED_ROW
     )
 
 
@@ -248,3 +258,208 @@ def _apply_rows_packed(
         jnp.where(livef, upd, 0.0).astype(table.dtype)
     )
     return new_table, {"mv": new_mv, "count": count}
+
+
+# --------------------------------------------------------------------------
+# pmv: params + both moments packed into one 128-lane row
+# --------------------------------------------------------------------------
+# The mv format above still pays the ~100ns/row XLA scatter-add into the
+# [V, E] param table every step (xplane: 13.4ms of the 32.9ms DR 10M-item
+# E-step).  Packing the PARAM lanes next to m and v removes the last scatter:
+# slot s of a physical row holds [p | m | v | pad] at lanes
+# [s*(128/S), (s+1)*(128/S)), so one 128-lane row gather reads all three and
+# one Pallas DMA row write (~30ns/row) commits all three.  The param table
+# becomes trainer-internal state; consumers outside the train step read an
+# unpacked [V, E] mirror (pmv_unpack), refreshed at epoch/eval boundaries.
+
+
+def pmv_slots(embed_dim: int) -> int:
+    """Logical rows per 128-lane physical row of a p|m|v packed table
+    (0 = packing not applicable for this width).
+
+    A slot needs 3*E lanes (p|m|v) plus whatever padding rounds the slot
+    width to 128/S; S must divide 128, so S is the largest power of two
+    with 128/S >= 3*E.  Non-power-of-two widths pack too — e.g. E=17
+    (a [w | bias] rerank table) gets 2 slots of 64 lanes with 13 pad."""
+    if embed_dim <= 0 or 3 * embed_dim > 128:
+        return 0
+    s = 1
+    while 2 * s <= 128 // (3 * embed_dim):
+        s *= 2
+    return s
+
+
+def _pmv_geometry(v_rows: int, e: int) -> tuple[int, int, int]:
+    s = pmv_slots(e)
+    if s == 0:
+        raise ValueError(f"cannot pack p|m|v for embed width {e}")
+    per = 128 // s  # lanes per logical row (p:e | m:e | v:e | pad:per-3e)
+    phys = -(-v_rows // s)
+    return s, per, phys
+
+
+# chunk size for whole-table pack/refresh/unpack passes: one fused XLA
+# program OOMs near ~3x its output at multi-GB outputs (CLAUDE.md), and at
+# 10M items three packed tables already hold ~7.7GB — stream in ~256MB
+# pieces through donated dynamic_update_slice programs instead.
+_PMV_CHUNK_PHYS = 1 << 19
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _pmv_write_chunk(buf, block, start):
+    return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(3, 4))
+def _pmv_merge_chunk(buf, tb_chunk, start, e, per):
+    """Replace the p lanes of buf[start : start+c] with tb_chunk, keeping
+    the m/v/pad lanes."""
+    c = tb_chunk.shape[0] // (128 // per)
+    old = jax.lax.dynamic_slice(buf, (start, 0), (c, 128))
+    s = 128 // per
+    merged = jnp.concatenate(
+        [tb_chunk.reshape(c, s, e), old.reshape(c, s, per)[..., e:]], axis=-1
+    ).reshape(c, 128)
+    return jax.lax.dynamic_update_slice(buf, merged, (start, 0))
+
+
+def _padded_chunk(table: jnp.ndarray, r0: int, rows: int, per: int):
+    """table[r0 : r0+rows] as f32, row-padded to ``rows`` and lane-padded to
+    ``per`` — the p|0|0|0 block for one chunk of physical rows."""
+    tb = table[r0 : min(r0 + rows, table.shape[0])].astype(jnp.float32)
+    return jnp.pad(
+        tb, ((0, rows - tb.shape[0]), (0, per - tb.shape[1]))
+    )
+
+
+def pmv_init(table: jnp.ndarray) -> dict:
+    """Pack a [V, E] f32 param table into p|m|v rows with zero moments.
+
+    Returns ``{"pmv": [phys+1, 128] f32, "count": 0}`` — the +1 is a
+    sacrificial scratch row for padded DMA writes (same convention as the
+    mv format).  Built chunk-wise into a donated buffer to bound transient
+    HBM at catalog scale."""
+    v_rows, e = table.shape
+    s, per, phys = _pmv_geometry(v_rows, e)
+    pmv = jnp.zeros((phys + 1, 128), jnp.float32)
+    for p0 in range(0, phys, _PMV_CHUNK_PHYS):
+        c = min(_PMV_CHUNK_PHYS, phys - p0)
+        block = _padded_chunk(table, p0 * s, c * s, per).reshape(c, 128)
+        pmv = _pmv_write_chunk(pmv, block, p0)
+    return {"pmv": pmv, "count": jnp.zeros((), jnp.int32)}
+
+
+def pmv_refresh(state: dict, table: jnp.ndarray) -> dict:
+    """Overwrite the p lanes from ``table``, keeping moments and count —
+    used when an external load replaced the trainer's param mirror.
+    Chunk-wise with buffer donation, like pmv_init."""
+    v_rows, e = table.shape
+    s, per, phys = _pmv_geometry(v_rows, e)
+    pmv = state["pmv"]
+    for p0 in range(0, phys, _PMV_CHUNK_PHYS):
+        c = min(_PMV_CHUNK_PHYS, phys - p0)
+        tb = _padded_chunk(table, p0 * s, c * s, e)  # row pad only
+        pmv = _pmv_merge_chunk(pmv, tb, p0, e, per)
+    return {"pmv": pmv, "count": state["count"]}
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(2, 3, 4))
+def _pmv_unpack_chunk(out, buf, p0, e, per):
+    s = 128 // per
+    c = min(_PMV_CHUNK_PHYS, buf.shape[0] - 1 - p0)
+    rows = jax.lax.dynamic_slice(buf, (p0, 0), (c, 128))
+    vals = rows.reshape(c, s, per)[..., :e].reshape(c * s, e)
+    return jax.lax.dynamic_update_slice(out, vals, (p0 * s, 0))
+
+
+def pmv_unpack(state: dict, v_rows: int, e: int) -> jnp.ndarray:
+    """Materialize the [V, E] param table from the packed state (chunk-wise;
+    the last physical row's padding slots fall off the row-padded buffer)."""
+    s, per, phys = _pmv_geometry(v_rows, e)
+    out = jnp.zeros((phys * s, e), jnp.float32)
+    for p0 in range(0, phys, _PMV_CHUNK_PHYS):
+        out = _pmv_unpack_chunk(out, state["pmv"], p0, e, per)
+    return out[:v_rows] if phys * s != v_rows else out
+
+
+def pmv_gather(pmv: jnp.ndarray, codes: jnp.ndarray, e: int) -> jnp.ndarray:
+    """Gather param rows [R, E] from the packed table (codes must be >= 0;
+    mask padding on the caller side as with a plain table gather).
+
+    The slot extraction rides an int32 one-hot contraction — exact for
+    arbitrary f32 bitpatterns, unlike an f32 einsum which the MXU would
+    round to bf16 (CLAUDE.md)."""
+    s = pmv_slots(e)
+    if s == 1:
+        return pmv[codes][:, :e]
+    per = 128 // s
+    rows = pmv[codes // s]  # [R, 128]
+    oh = (
+        (codes % s)[:, None] == jnp.arange(s, dtype=codes.dtype)[None, :]
+    ).astype(jnp.int32)
+    ri = _bitcast_i32(rows).reshape(-1, s, per)
+    return _bitcast_f32(jnp.einsum("rsl,rs->rl", ri, oh))[:, :e]
+
+
+def pmv_apply_rows(
+    state: dict,
+    flat_codes: jnp.ndarray,
+    g_rows: jnp.ndarray,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    use_pallas: bool | None = None,
+) -> dict:
+    """One lazy-Adam step on the packed p|m|v table: one row gather + one
+    Pallas row write, zero XLA scatters.  Same per-touched-row Adam math as
+    ``apply_rows`` (bit-identical given identical gradients)."""
+    from dismember_tpu.ops.row_writer import write_rows_128
+
+    e = g_rows.shape[1]
+    s_per = pmv_slots(e)
+    per = 128 // s_per
+    pmv = state["pmv"]
+    phys_rows = pmv.shape[0]  # includes the scratch row
+    codes_u, g, live = dedup_rows(flat_codes, g_rows)
+    r = codes_u.shape[0]
+    count = state["count"] + 1
+    cf = count.astype(jnp.float32)
+
+    safe_codes = jnp.where(live, codes_u, 0)
+    phys = jnp.where(live, safe_codes // s_per, phys_rows - 1)
+    slot = jnp.where(live, safe_codes % s_per, 0)
+    rows128 = pmv[phys]  # [R, 128] covers p, m and v
+    oh = (slot[:, None] == jnp.arange(s_per)[None, :]).astype(jnp.int32)
+    ri = _bitcast_i32(rows128).reshape(r, s_per, per)
+    old = _bitcast_f32(jnp.einsum("rsl,rs->rl", ri, oh))
+    p_rows, m_rows, v_rows = old[:, :e], old[:, e : 2 * e], old[:, 2 * e : 3 * e]
+
+    g = g.astype(jnp.float32)
+    m_new = b1 * m_rows + (1.0 - b1) * g
+    v_new = b2 * v_rows + (1.0 - b2) * (g * g)
+    m_hat = m_new / (1.0 - jnp.power(b1, cf))
+    v_hat = v_new / (1.0 - jnp.power(b2, cf))
+    p_new = p_rows + (m_hat / (jnp.sqrt(v_hat) + eps)) * (-lr)
+
+    payload = _bitcast_i32(
+        jnp.pad(
+            jnp.concatenate([p_new, m_new, v_new], axis=1),
+            ((0, 0), (0, per - 3 * e)),
+        )
+    )
+    expanded = jnp.einsum("rl,rs->rsl", payload, oh).reshape(r, 128)
+    mask128 = jnp.repeat(oh, per, axis=1)  # [R, 128]
+    startp = jnp.concatenate([jnp.ones((1,), bool), phys[1:] != phys[:-1]])
+    segp = jnp.cumsum(startp) - 1
+    upd_sum = jax.ops.segment_sum(expanded, segp, num_segments=r)
+    mask_sum = jax.ops.segment_sum(mask128, segp, num_segments=r)
+    old_seg = jax.ops.segment_max(_bitcast_i32(rows128), segp, num_segments=r)
+    new_rows = jnp.where(
+        mask_sum > 0, _bitcast_f32(upd_sum), _bitcast_f32(old_seg)
+    )
+    phys_u = jax.ops.segment_max(phys, segp, num_segments=r)
+    phys_w = jnp.where(phys_u >= 0, phys_u, phys_rows - 1)
+    new_rows = jnp.where((phys_w == phys_rows - 1)[:, None], 0.0, new_rows)
+    new_pmv = write_rows_128(pmv, phys_w, new_rows, use_pallas=use_pallas)
+    return {"pmv": new_pmv, "count": count}

@@ -225,6 +225,9 @@ def test_dr_sparse_steps_match_dense(dr_data):
         np.testing.assert_allclose(
             float(r_d), float(r_s), rtol=1e-5,
             err_msg=f"rerank loss diverged at step {step}")
+    # raw-step driving bypasses train(); re-materialize the param mirrors
+    # from the packed p|m|v state before comparing (the documented contract)
+    sparse._sync_mirrors()
     np.testing.assert_allclose(
         np.asarray(dense.layer_params["embedding"]),
         np.asarray(sparse.layer_params["embedding"]),
@@ -234,6 +237,99 @@ def test_dr_sparse_steps_match_dense(dr_data):
             np.asarray(dense.rerank_params[k]),
             np.asarray(sparse.rerank_params[k]),
             rtol=2e-4, atol=2e-6, err_msg=f"rerank {k} diverged")
+
+
+def test_pmv_state_roundtrip_and_parity(dr_data):
+    """p|m|v packed rows (train/sparse_adam.py): pack/unpack round-trips,
+    refresh keeps moments, gather matches plain row gathers, and
+    pmv_apply_rows matches the split-format apply_rows bit-for-bit given
+    identical gradients."""
+    from dismember_tpu.train import sparse_adam
+
+    rng = np.random.default_rng(3)
+    v, e = 103, 8  # 4 slots per 128-lane row, ragged tail
+    table = jnp.asarray(rng.normal(size=(v, e)).astype(np.float32))
+    st = sparse_adam.pmv_init(table)
+    assert st["pmv"].shape == ((v + 3) // 4 + 1, 128)
+    np.testing.assert_array_equal(
+        np.asarray(sparse_adam.pmv_unpack(st, v, e)), np.asarray(table)
+    )
+    codes = jnp.asarray(rng.integers(0, v, size=37), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(sparse_adam.pmv_gather(st["pmv"], codes, e)),
+        np.asarray(table[codes]),
+    )
+
+    # identical gradient stream through both formats -> identical tables
+    split = sparse_adam.init_state(table, packed=False)
+    tbl_split = table
+    for step in range(3):
+        flat = jnp.asarray(
+            np.concatenate([rng.integers(0, v, size=20), [-1, -1]]), jnp.int32
+        )
+        g = jnp.asarray(rng.normal(size=(22, e)).astype(np.float32))
+        g = g * (flat >= 0)[:, None]
+        tbl_split, split = sparse_adam.apply_rows(
+            tbl_split, split, flat, g, 1e-2
+        )
+        st = sparse_adam.pmv_apply_rows(st, flat, g, 1e-2)
+    np.testing.assert_array_equal(
+        np.asarray(sparse_adam.pmv_unpack(st, v, e)), np.asarray(tbl_split)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            sparse_adam.pmv_unpack(
+                {"pmv": st["pmv"], "count": st["count"]}, v, e
+            )
+        ),
+        np.asarray(tbl_split),
+    )
+
+    # refresh replaces p lanes, keeps moments: next identical step matches
+    new_table = jnp.asarray(rng.normal(size=(v, e)).astype(np.float32))
+    st2 = sparse_adam.pmv_refresh(st, new_table)
+    np.testing.assert_array_equal(
+        np.asarray(sparse_adam.pmv_unpack(st2, v, e)), np.asarray(new_table)
+    )
+    flat = jnp.asarray(rng.integers(0, v, size=16), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(16, e)).astype(np.float32))
+    tbl_ref, _ = sparse_adam.apply_rows(new_table, split, flat, g, 1e-2)
+    st3 = sparse_adam.pmv_apply_rows(st2, flat, g, 1e-2)
+    np.testing.assert_array_equal(
+        np.asarray(sparse_adam.pmv_unpack(st3, v, e)), np.asarray(tbl_ref)
+    )
+
+
+def test_dr_pmv_mirror_sync_through_train(dr_data):
+    """End-to-end pmv mode: train() leaves synced mirrors (evaluate,
+    serving and checkpointing read self.*_params), and an external mirror
+    assignment (checkpoint load) is adopted by the next train() call."""
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2,
+        embed_size=8, train_batch_size=2048, beam_size=10, seed=0,
+        sparse_embed_update=True,
+    )
+    assert tr._pmv
+    tr.train(num_epochs=1)
+    assert not tr._mirrors_stale
+    from dismember_tpu.train import sparse_adam
+
+    emb_rows = dr_data.num_items + 20 * 2
+    np.testing.assert_array_equal(
+        np.asarray(tr.layer_params["embedding"]),
+        np.asarray(sparse_adam.pmv_unpack(tr.layer_opt_state[1], emb_rows, 8)),
+    )
+    # simulate a checkpoint load: replace a mirror, train again — the new
+    # values must flow into the packed state (train would diverge otherwise).
+    # The softmax projection packs as one [V, E+1] w|b table.
+    forced = jnp.zeros_like(tr.rerank_params["softmax_w"])
+    tr.rerank_params["softmax_w"] = forced
+    tr._adopt_mirrors()
+    wb = sparse_adam.pmv_unpack(tr.rerank_opt_state[2], dr_data.num_items, 9)
+    np.testing.assert_array_equal(np.asarray(wb[:, :8]), np.asarray(forced))
+    np.testing.assert_array_equal(
+        np.asarray(wb[:, 8]), np.asarray(tr.rerank_params["softmax_b"])
+    )
 
 
 def test_sample_negatives_rejection_path():
