@@ -150,7 +150,7 @@ class OTMTrainer:
 
             touched = self.train_batch_size * (2 * beam_size + seq_len)
             self._sparse = not self._x64 and sparse_worthwhile(
-                num_index, touched
+                num_index, touched, embed_dim=embed_size
             )
         with self._ctx():
             self.params = jax.tree.map(lambda x: x.astype(self.dtype), params)

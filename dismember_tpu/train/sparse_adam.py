@@ -38,20 +38,33 @@ import jax.numpy as jnp
 # Mosaic requires 128-lane-aligned HBM slices, scripts/spike_pallas_scatter).
 # The packed-moments sparse step (one table scatter + one Pallas mv write +
 # sort/segment apparatus) measures ≈ 200ns per touched row (DR layer step at
-# 10M items: 11.3ms apparatus / 57k rows); the dense step reads/writes
-# params, both moments and the dense gradient ≈ 0.8ns per table row at HBM
-# bandwidth — PLUS the dense-grad scatter materialization, which costs the
-# same ~100ns per touched row (xplane: 5.7ms for 57k rows into [10M,16]
-# zeros).  Both sides scale with touched rows; only dense pays O(table).
+# 10M items: 11.3ms apparatus / 57k rows); the split m/v fallback pays three
+# ~100ns XLA scatters plus the apparatus ≈ 350ns per touched row.  The dense
+# step reads/writes params, both moments and the dense gradient ≈ 0.8ns per
+# table row at HBM bandwidth — PLUS the dense-grad scatter materialization,
+# which costs the same ~100ns per touched row (xplane: 5.7ms for 57k rows
+# into [10M,16] zeros).  Both sides scale with touched rows; only dense pays
+# O(table).
 _SPARSE_NS_PER_TOUCHED_ROW = 200.0
+_SPLIT_NS_PER_TOUCHED_ROW = 350.0
 _DENSE_NS_PER_TABLE_ROW = 0.8
 _DENSE_NS_PER_TOUCHED_ROW = 100.0
 
 
-def sparse_worthwhile(table_rows: int, touched_rows_per_step: int) -> bool:
+def sparse_worthwhile(
+    table_rows: int,
+    touched_rows_per_step: int,
+    embed_dim: int | None = None,
+) -> bool:
     """Cost-model decision for the auto mode: lazy sparse Adam wins when the
     per-step scatter bill undercuts dense Adam's O(table) HBM traffic plus
     its own dense-gradient scatter materialization.
+
+    ``embed_dim`` names the table width so the model can charge the format
+    the trainer would actually get: the packed-row step (~200ns/row) when
+    the width packs into 128-lane rows (mv or p|m|v), the split 3-scatter
+    fallback (~350ns/row) otherwise.  ``None`` assumes packable (the common
+    widths 8/16/32/64).
 
     Verified against xplane device timings at 10M items: TDM (8.4k touched
     rows / 33.5M-row table) sparse wins 28.6 -> 5.05 ms; DR's E-step at
@@ -59,7 +72,12 @@ def sparse_worthwhile(table_rows: int, touched_rows_per_step: int) -> bool:
     (scripts/profile_dr_estep.py; the round-2 packed-moments path changed
     the economics — the earlier 3-scatter sparse step lost this one).
     """
-    return touched_rows_per_step * _SPARSE_NS_PER_TOUCHED_ROW < (
+    ns = _SPARSE_NS_PER_TOUCHED_ROW
+    if embed_dim is not None and not (
+        _packed_slots(embed_dim) > 0 or pmv_slots(embed_dim) > 0
+    ):
+        ns = _SPLIT_NS_PER_TOUCHED_ROW
+    return touched_rows_per_step * ns < (
         table_rows * _DENSE_NS_PER_TABLE_ROW
         + touched_rows_per_step * _DENSE_NS_PER_TOUCHED_ROW
     )
@@ -338,7 +356,8 @@ def pmv_init(table: jnp.ndarray) -> dict:
     Returns ``{"pmv": [phys+1, 128] f32, "count": 0}`` — the +1 is a
     sacrificial scratch row for padded DMA writes (same convention as the
     mv format).  Built chunk-wise into a donated buffer to bound transient
-    HBM at catalog scale."""
+    HBM at catalog scale.  The intermediate buffers are donated internally;
+    ``table`` itself is NOT consumed."""
     v_rows, e = table.shape
     s, per, phys = _pmv_geometry(v_rows, e)
     pmv = jnp.zeros((phys + 1, 128), jnp.float32)
@@ -352,7 +371,12 @@ def pmv_init(table: jnp.ndarray) -> dict:
 def pmv_refresh(state: dict, table: jnp.ndarray) -> dict:
     """Overwrite the p lanes from ``table``, keeping moments and count —
     used when an external load replaced the trainer's param mirror.
-    Chunk-wise with buffer donation, like pmv_init."""
+
+    DONATES ``state["pmv"]``: the input buffer is consumed by the chunked
+    merge (``_pmv_merge_chunk`` has ``donate_argnums=0``), so the caller
+    must not touch the old ``state`` afterwards — on TPU a reuse raises a
+    donated-buffer error (the CPU test backend ignores donation, so tests
+    can't catch such misuse).  ``table`` is not consumed."""
     v_rows, e = table.shape
     s, per, phys = _pmv_geometry(v_rows, e)
     pmv = state["pmv"]

@@ -98,19 +98,62 @@ class TDMTrainer:
     # huge catalogs (compute stays f32; Adam moments kept f32)
     sparse_embed_update: bool | None = None  # lazy row-sparse Adam on the
     # embedding table (train/sparse_adam.py).  None = auto: on for >=2^20-row
-    # tables on a single chip, where dense Adam's O(table) HBM traffic
-    # dominates the step; dense (exact reference Adam) otherwise.
+    # tables, where dense Adam's O(table) HBM traffic dominates the step;
+    # dense (exact reference Adam) otherwise.  Composes with `mesh`: the
+    # table + Adam state row-shard on 'model' with shard-local row updates
+    # (train/spmd_sparse.py).
+    sparse_format: str = "auto"  # packed-state format of the sparse step:
+    # "pmv" packs params+moments into one 128-lane row (zero XLA table
+    # scatters; measured 3.57 -> 2.60 ms/step at 10M items,
+    # scripts/profile_pmv_tdm.py) but makes params["embedding"] a MIRROR
+    # synced at eval/train boundaries; "mv" keeps the table addressable
+    # (one ~100ns/row scatter per step).  "auto" = pmv when the width packs,
+    # the table is f32 and single-chip; mv otherwise (bf16 tables, meshes).
 
     def __post_init__(self):
         key = jax.random.PRNGKey(self.seed)
         num_levels = self.tree.max_level
+        base_num_index = (1 << (num_levels + 1)) - 1
+        self.sampler = TreeSampler.build(
+            self.tree,
+            self.layer_neg_counts,
+            start_level=self.start_sample_level,
+            with_prob=self.sample_with_prob,
+            tolerance=self.sample_tolerance,
+        )
+        self.num_targets_per_batch = max(1, self.total_batch_size // self.sampler.unit)
         if self.mesh is not None:
-            from dismember_tpu.train import spmd
+            # batch must split across the 'data' axis
+            from dismember_tpu.core.mesh import DATA_AXIS
 
-            # pad the node table so it row-shards over the 'model' axis
-            num_index = spmd.padded_num_index(
-                (1 << (num_levels + 1)) - 1, self.mesh
+            n_data = self.mesh.shape[DATA_AXIS]
+            self.num_targets_per_batch = max(
+                n_data, self.num_targets_per_batch // n_data * n_data
             )
+        if self.sparse_embed_update is not None:
+            self._sparse = self.sparse_embed_update
+        else:
+            from dismember_tpu.train.sparse_adam import sparse_worthwhile
+
+            touched = self.num_targets_per_batch * (
+                self.sampler.unit + self.seq_len
+            )
+            self._sparse = sparse_worthwhile(
+                base_num_index, touched, embed_dim=self.embed_size
+            )
+        if self.mesh is not None:
+            # pad the node table so it row-shards over the 'model' axis (and,
+            # for the sharded-sparse step, so each shard's rows slot-pack)
+            if self._sparse:
+                from dismember_tpu.train import spmd_sparse
+
+                num_index = spmd_sparse.sparse_padded_rows(
+                    base_num_index, self.mesh, self.embed_size
+                )
+            else:
+                from dismember_tpu.train import spmd
+
+                num_index = spmd.padded_num_index(base_num_index, self.mesh)
             if self.model_type == "din":
                 self.params = din.init_params(key, num_index, self.embed_size)
                 self.forward = din.forward
@@ -123,55 +166,60 @@ class TDMTrainer:
             self.params, self.forward = build_model(
                 self.model_type, num_levels, self.embed_size, self.seq_len, key
             )
-        self.sampler = TreeSampler.build(
-            self.tree,
-            self.layer_neg_counts,
-            start_level=self.start_sample_level,
-            with_prob=self.sample_with_prob,
-            tolerance=self.sample_tolerance,
-        )
         if self.embed_dtype is not None:
             self.params["embedding"] = self.params["embedding"].astype(
                 self.embed_dtype
-            )
-        self.num_targets_per_batch = max(1, self.total_batch_size // self.sampler.unit)
-        if self.mesh is not None:
-            # batch must split across the 'data' axis
-            from dismember_tpu.core.mesh import DATA_AXIS
-
-            n_data = self.mesh.shape[DATA_AXIS]
-            self.num_targets_per_batch = max(
-                n_data, self.num_targets_per_batch // n_data * n_data
             )
         self.optimizer = optax.adam(
             self.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
             mu_dtype=jnp.float32,  # full-precision moments under bf16 params
         )
-        if self.sparse_embed_update and self.mesh is not None:
-            raise ValueError(
-                "sparse_embed_update is a single-chip path; the SPMD step "
-                "keeps dense Adam over the row-sharded table"
-            )
-        if self.sparse_embed_update is not None:
-            self._sparse = self.sparse_embed_update
-        else:
-            from dismember_tpu.train.sparse_adam import sparse_worthwhile
+        self._pmv = False  # pmv mode: params["embedding"] is a MIRROR of the
+        # packed p|m|v state, re-materialized by _sync_mirrors at eval/train
+        # boundaries (same contract as DRTrainer)
+        self._mirrors_stale = False
+        if self._sparse and self.mesh is not None:
+            from dismember_tpu.train import spmd_sparse
 
-            touched = self.num_targets_per_batch * (
-                self.sampler.unit + self.seq_len
+            self._train_step, self.params, self.opt_state = (
+                spmd_sparse.make_sharded_sparse_train_step(
+                    self.model_type, self.sampler, self.optimizer,
+                    self.mesh, self.params, self.learning_rate,
+                )
             )
-            self._sparse = self.mesh is None and sparse_worthwhile(
-                int(self.params["embedding"].shape[0]), touched
-            )
-        if self._sparse:
+        elif self._sparse:
             from dismember_tpu.train import sparse_adam
 
+            if self.sparse_format not in ("auto", "mv", "pmv"):
+                raise ValueError(f"unknown sparse_format {self.sparse_format!r}")
+            f32_table = self.embed_dtype is None or self.embed_dtype == jnp.float32
+            if self.sparse_format == "auto":
+                self._pmv = (
+                    sparse_adam.pmv_slots(self.embed_size) > 0 and f32_table
+                )
+            else:
+                self._pmv = self.sparse_format == "pmv"
+                if self._pmv and (
+                    sparse_adam.pmv_slots(self.embed_size) == 0 or not f32_table
+                ):
+                    raise ValueError(
+                        f"pmv needs a packable width (3*E <= 128; E="
+                        f"{self.embed_size}) and an f32 table"
+                    )
             rest = {k: v for k, v in self.params.items() if k != "embedding"}
-            self.opt_state = (
-                self.optimizer.init(rest),
-                sparse_adam.init_state(self.params["embedding"]),
-            )
-            self._train_step = self._make_sparse_train_step()
+            if self._pmv:
+                self.opt_state = (
+                    self.optimizer.init(rest),
+                    sparse_adam.pmv_init(self.params["embedding"]),
+                )
+                self._train_step = self._make_pmv_train_step()
+                self._record_mirror_id()
+            else:
+                self.opt_state = (
+                    self.optimizer.init(rest),
+                    sparse_adam.init_state(self.params["embedding"]),
+                )
+                self._train_step = self._make_sparse_train_step()
         elif self.mesh is not None:
             from dismember_tpu.train.spmd import make_sharded_train_step
 
@@ -273,6 +321,129 @@ class TDMTrainer:
 
         return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
 
+    def _make_pmv_train_step(self):
+        """Sparse step on the packed p|m|v table: one row gather + one Pallas
+        row write, ZERO XLA table scatters — the mv step's last ~100ns/row
+        scatter removed (measured 3.57 -> 2.60 ms/step at 10M items,
+        scripts/profile_pmv_tdm.py).  Same per-touched-row Adam math as the
+        mv/dense step (bit-identical given identical gradients).
+
+        In this mode the packed state inside ``opt_state`` owns the table;
+        ``params["embedding"]`` becomes a MIRROR used only by consumers
+        outside the train loop (eval, beam serving, export, checkpoints).
+        ``_sync_mirrors`` re-materializes it at train/eval boundaries and
+        ``_adopt_mirrors`` pushes external assignments (checkpoint loads)
+        back into the packed state — the same contract as DRTrainer."""
+        import functools
+
+        from dismember_tpu.constants import PADDING_IDX
+        from dismember_tpu.models import deepfm as _deepfm, din as _din
+        from dismember_tpu.train import sparse_adam
+
+        mod = {"din": _din, "deepfm": _deepfm}[self.model_type]
+        sampler = self.sampler
+        rest_optimizer = self.optimizer
+        lr = self.learning_rate
+        e = self.embed_size
+        sampler_state = sampler.device_state()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(rest, opt_state, key, target_codes, seq_codes, sstate):
+            rest_opt, emb_pmv = opt_state
+            codes, labels, weights = sampler.sample(key, target_codes, sstate)
+            b, u = codes.shape
+            l = seq_codes.shape[1]
+            flat = jnp.concatenate([codes.reshape(-1), seq_codes.reshape(-1)])
+            valid = flat != PADDING_IDX
+            rows = sparse_adam.pmv_gather(
+                emb_pmv["pmv"], jnp.where(valid, flat, 0), e
+            )
+            rows = rows * valid[:, None].astype(rows.dtype)
+            pad = (seq_codes == PADDING_IDX)[:, None, :]
+            dummy = jnp.zeros((1, e), rows.dtype)
+
+            def loss_fn(rows_in, rest_in):
+                p = dict(rest_in, embedding=dummy)
+                item_e = rows_in[: b * u].reshape(b, u, -1)
+                seq_e = rows_in[b * u :].reshape(b, l, -1)
+                ctx = mod.ctx_from_seq_emb(p, seq_e, pad)
+                logits = mod.apply_from_emb(p, item_e, ctx)
+                return bce_with_logits(logits, labels, weights)
+
+            loss, (g_rows, g_rest) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(rows, rest)
+            updates, new_rest_opt = rest_optimizer.update(
+                g_rest, rest_opt, rest
+            )
+            new_rest = optax.apply_updates(rest, updates)
+            g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+            new_emb_pmv = sparse_adam.pmv_apply_rows(emb_pmv, flat, g_rows, lr)
+            return new_rest, (new_rest_opt, new_emb_pmv), loss
+
+        def run(params, opt_state, key, target_codes, seq_codes):
+            rest = {k: v for k, v in params.items() if k != "embedding"}
+            new_rest, new_opt, loss = step(
+                rest, opt_state, key, target_codes, seq_codes, sampler_state
+            )
+            self._mirrors_stale = True
+            return (
+                dict(new_rest, embedding=params["embedding"]),
+                new_opt,
+                loss,
+            )
+
+        return run
+
+    # -- pmv mirror management (same contract as DRTrainer, dr.py:580-669) --
+    def _record_mirror_id(self) -> None:
+        self._mirror_id = id(self.params["embedding"])
+
+    def _sync_mirrors(self) -> None:
+        """Re-materialize the [V, E] embedding mirror from the packed p|m|v
+        state (no-op outside pmv mode or when already in sync)."""
+        if not self._pmv or not self._mirrors_stale:
+            return
+        from dismember_tpu.train import sparse_adam
+
+        v_rows, e = self.params["embedding"].shape
+        self.params["embedding"] = sparse_adam.pmv_unpack(
+            self.opt_state[1], v_rows, e
+        )
+        self._mirrors_stale = False
+        self._record_mirror_id()
+
+    def _adopt_mirrors(self) -> None:
+        """Push an externally-assigned ``params["embedding"]`` (checkpoint
+        load etc., detected by array identity) into the packed state's p
+        lanes, keeping moments.  Called at train() entry.  If the packed
+        state is newer (_mirrors_stale after raw-step driving) and a mirror
+        was still replaced externally, the external values win with a
+        warning (ADVICE r2)."""
+        if not self._pmv:
+            return
+        from dismember_tpu.train import sparse_adam
+
+        replaced = id(self.params["embedding"]) != self._mirror_id
+        if not replaced:
+            return
+        if self._mirrors_stale:
+            logger.warning(
+                "embedding mirror was externally replaced while the packed "
+                "p|m|v state was newer (raw-step driving without "
+                "_sync_mirrors); adopting the external values into the "
+                "packed state (moments kept)."
+            )
+        rest_opt, emb_pmv = self.opt_state
+        self.opt_state = (
+            rest_opt,
+            sparse_adam.pmv_refresh(
+                emb_pmv, self.params["embedding"].astype(jnp.float32)
+            ),
+        )
+        self._mirrors_stale = False
+        self._record_mirror_id()
+
     def _make_eval_loss_step(self):
         forward = self.forward
         sampler = self.sampler
@@ -298,6 +469,7 @@ class TDMTrainer:
         shuffle: bool = True,
     ) -> list[dict]:
         """Run the training loop; returns per-progress-point logs."""
+        self._adopt_mirrors()
         seq_codes_all = self.tree.ids_to_codes(train_seqs)
         target_codes_all = self.tree.ids_to_codes(train_targets)
         n = len(target_codes_all)
@@ -354,6 +526,7 @@ class TDMTrainer:
                     msg += f"\n\tMetrics: {ev}"
                 logger.info(msg)
                 logs.append(entry)
+        self._sync_mirrors()
         return logs
 
     # ------------------------------------------------------------------
@@ -366,6 +539,7 @@ class TDMTrainer:
         """Eval loss (same sampling path as training, target = first label,
         mirroring TDMEvalSample.target = labels.head) + full beam-search
         metrics per user (Evaluator.scala:14-74)."""
+        self._sync_mirrors()
         eval_seqs, eval_labels, eval_users = eval_data
         seq_codes = self.tree.ids_to_codes(eval_seqs)
         targets = eval_labels[:, 0]
@@ -418,6 +592,7 @@ class TDMTrainer:
         consumed: list[np.ndarray] | None = None,
         batch_size: int = 4096,
     ) -> list[np.ndarray]:
+        self._sync_mirrors()
         cn = candidate_num or self.beam_size
         k = topk or self.topk
         if self._beam_fn is None or self._beam_fn_width != cn:
@@ -466,6 +641,7 @@ class TDMTrainer:
         """Leaf-item embeddings CSV: ``id, e1, ..., ed`` keyed by item id,
         rows read from the shared embedding table at each item's leaf code
         (tdm/.../utils/Serialization.scala:15-58)."""
+        self._sync_mirrors()
         table = np.asarray(self.params["embedding"])
         from dismember_tpu.core.io import open_file
 

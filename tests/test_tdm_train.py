@@ -174,11 +174,14 @@ def test_training_determinism(pipeline):
 
 
 @pytest.mark.parametrize("model_type", ["din", "deepfm"])
-def test_sparse_step_matches_dense(pipeline, model_type):
+@pytest.mark.parametrize("sparse_format", ["mv", "pmv"])
+def test_sparse_step_matches_dense(pipeline, model_type, sparse_format):
     """Lazy row-sparse Adam (sparse_embed_update=True) matches the dense
     step exactly on rows it touches: with identical batches every step, the
     touched set repeats, so params/loss must agree with dense within fp
-    reassociation noise (train/sparse_adam.py docstring)."""
+    reassociation noise (train/sparse_adam.py docstring).  Covers both
+    sparse formats: mv (addressable table, one scatter) and pmv (packed
+    p|m|v rows, mirror-synced table)."""
     import jax.numpy as jnp
 
     tree, samples = pipeline
@@ -187,8 +190,11 @@ def test_sparse_step_matches_dense(pipeline, model_type):
         total_batch_size=512, layer_neg_counts=NEG_COUNTS, seed=7,
     )
     dense = TDMTrainer(sparse_embed_update=False, **kwargs)
-    sparse = TDMTrainer(sparse_embed_update=True, **kwargs)
+    sparse = TDMTrainer(
+        sparse_embed_update=True, sparse_format=sparse_format, **kwargs
+    )
     assert sparse._sparse and not dense._sparse
+    assert sparse._pmv == (sparse_format == "pmv")
 
     seqs = samples.train_seqs[:dense.num_targets_per_batch]
     targets = samples.train_targets[:dense.num_targets_per_batch]
@@ -203,6 +209,7 @@ def test_sparse_step_matches_dense(pipeline, model_type):
         np.testing.assert_allclose(
             float(loss_d), float(loss_s), rtol=1e-5,
             err_msg=f"loss diverged at step {step}")
+    sparse._sync_mirrors()  # pmv: re-materialize the embedding mirror
     for k in dense.params:
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(dense.params[k])[0]),
@@ -238,3 +245,52 @@ def test_sparse_with_bf16_table(pipeline):
     )
     assert trainer.params["embedding"].dtype == jnp.bfloat16
     assert logs[-1]["train_loss"] < logs[0]["train_loss"]
+
+
+def test_pmv_mirror_lifecycle(pipeline):
+    """pmv mode's mirror contract: train() leaves params["embedding"] synced
+    with the packed state; an external assignment (checkpoint load) is
+    adopted into the packed state at the next train() (moments kept);
+    recommend/export read the synced mirror."""
+    import jax.numpy as jnp
+
+    from dismember_tpu.train import sparse_adam
+
+    tree, samples = pipeline
+    trainer = TDMTrainer(
+        tree=tree, model_type="din", embed_size=8, learning_rate=3e-3,
+        total_batch_size=512, layer_neg_counts=NEG_COUNTS, seed=5,
+        sparse_embed_update=True, sparse_format="pmv", topk=5, beam_size=8,
+    )
+    assert trainer._pmv
+    logs = trainer.train(
+        samples.train_seqs, samples.train_targets, iterations=10,
+        progress_interval=5,
+    )
+    assert all(np.isfinite(l["train_loss"]) for l in logs)
+    # train() exit synced the mirror: it must equal the packed-state p lanes
+    assert not trainer._mirrors_stale
+    v, e = trainer.params["embedding"].shape
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params["embedding"]),
+        np.asarray(sparse_adam.pmv_unpack(trainer.opt_state[1], v, e)),
+    )
+    rec = trainer.recommend(samples.eval_seqs[0], topk=5)
+    assert len(rec) == 5
+
+    # external load: new table must reach the packed state on next train()
+    loaded = jnp.asarray(
+        np.random.default_rng(9).normal(size=(v, e)).astype(np.float32) * 0.01
+    )
+    old_count = int(trainer.opt_state[1]["count"])
+    trainer.params["embedding"] = loaded
+    trainer.train(
+        samples.train_seqs, samples.train_targets, iterations=1,
+        progress_interval=1,
+    )
+    assert int(trainer.opt_state[1]["count"]) == old_count + 1
+    # the one step only touched sampled rows; untouched rows keep the
+    # externally loaded values (proof the adopt reached the packed state)
+    after = np.asarray(trainer.params["embedding"])
+    same = np.isclose(after, np.asarray(loaded)).all(axis=1)
+    assert same.sum() > v // 2
