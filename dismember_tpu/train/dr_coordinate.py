@@ -19,9 +19,16 @@ aggregation is vectorized host numpy (composite base-K int64 path keys,
 lexsort + segment sums, per-item top-C by rank) instead of per-sample dict
 loops; the greedy selection stays an item-sequential loop over small numpy
 vectors because the path-size penalty couples items in order (the reference
-iterates items sequentially too, CoordinateDescent.scala:50-83).  Streaming
-mode keeps the reference's per-batch dict merge (its decay semantics are
-inherently per-batch-sequential) and feeds the same array greedy.
+iterates items sequentially too, CoordinateDescent.scala:50-83).
+
+Streaming mode's decay merge is sequential over an ITEM'S occurrences but
+independent across items, so it vectorizes as a rank-synchronous fold
+(_collect_streaming_arrays): occurrences are ranked within their item by
+original position (one lexsort), and fold step t merges the rank-t sample
+of every still-active item at once — [A, C]-array set-union/decay/top-C ops
+instead of per-path dict work.  Exactly the reference recurrence
+(streamingPathScore, CoordinateDescent.scala:162-212); the dict loop is
+kept as ``mode="streaming_dict"`` for parity tests.
 """
 
 from __future__ import annotations
@@ -173,6 +180,103 @@ def _collect_batch_arrays(
     return items_u, cand_keys, cand_scores
 
 
+def _collect_streaming_arrays(
+    trainer,
+    train_seqs: np.ndarray,
+    train_targets: np.ndarray,
+    num_candidate_path: int,
+    batch_size: int,
+    decay_factor: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized streaming-mode aggregation (streamingPathScore).
+
+    Per item the reference folds its occurrences in order: matched paths
+    score ``decay*old + new``, paths new to the state enter at
+    ``decay*min(old) + new``, unmatched old paths decay, then top-C.  The
+    fold is independent across items, so occurrences are ranked within
+    their item (one lexsort) and fold step t merges the rank-t sample of
+    EVERY active item in one [A, C]-array op; the active set shrinks with
+    the item-frequency tail, so total work is O(total_rows * C log C).
+
+    Returns the same (items_u, cand_keys, cand_scores) format as
+    :func:`_collect_batch_arrays`; candidate order is score-desc (set-vs-
+    array order may differ only on exact score ties).
+    """
+    k = trainer.num_nodes
+    assert float(k) ** trainer.num_layers < 2**62, "path key overflows int64"
+    c = num_candidate_path
+    n = len(train_seqs)
+    old_beam = trainer.beam
+    keys_all = np.empty((n, c), np.int64)
+    probs_all = np.empty((n, c), np.float64)
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        trainer.beam = c
+        paths, probs = trainer.beam_search_paths(train_seqs[s:e])
+        trainer.beam = old_beam
+        keys_all[s:e] = _path_keys(np.asarray(paths, np.int64), k)
+        probs_all[s:e] = np.asarray(probs, np.float64)
+
+    # in-sample dedup: a padded beam (beam > #paths) repeats a path with an
+    # identical prob; the dict built one entry per key — mask repeats so the
+    # matched-score sums below never double-count
+    srt = np.sort(keys_all, axis=1)
+    dup_exists = bool((srt[:, 1:] == srt[:, :-1]).any())
+    if dup_exists:
+        eq = keys_all[:, :, None] == keys_all[:, None, :]
+        tri = np.tril(np.ones((c, c), bool), -1)
+        dup = (eq & tri).any(-1)
+        keys_all = np.where(dup, -2, keys_all)  # -2 never matches state (-1 pad)
+        probs_all = np.where(dup, -np.inf, probs_all)
+
+    items = np.asarray(train_targets, np.int64)
+    order = np.lexsort((np.arange(n), items))  # stable: by item, then pos
+    sorted_items = items[order]
+    first = np.concatenate([[True], sorted_items[1:] != sorted_items[:-1]])
+    grp = np.cumsum(first) - 1
+    pos = np.arange(n)
+    rank = pos - pos[first][grp]
+    items_u = sorted_items[first]
+    n_items_u = len(items_u)
+
+    state_keys = np.full((n_items_u, c), -1, np.int64)
+    state_scores = np.full((n_items_u, c), -np.inf)
+    sel0 = rank == 0
+    state_keys[grp[sel0]] = keys_all[order[sel0]]
+    state_scores[grp[sel0]] = probs_all[order[sel0]]
+
+    max_occ = int(rank.max()) + 1 if n else 0
+    for t in range(1, max_occ):
+        sel = rank == t
+        rows = order[sel]
+        gi = grp[sel]
+        sk, ss = state_keys[gi], state_scores[gi]  # [A, C]
+        nk, ns = keys_all[rows], probs_all[rows]  # [A, C]
+        valid_s = sk >= 0
+        ss_f = np.where(valid_s, ss, 0.0)
+        min_s = np.where(valid_s, ss, np.inf).min(axis=1)  # [A]
+        eq = nk[:, :, None] == sk[:, None, :]  # [A, Cnew, Cstate]
+        has = eq.any(-1)
+        matched = (eq * ss_f[:, None, :]).sum(-1)
+        base = np.where(has, matched, min_s[:, None])
+        valid_n = nk >= 0
+        new_side = np.where(
+            valid_n, decay_factor * base + ns, -np.inf
+        )
+        old_in_new = eq.any(1)  # [A, Cstate]
+        old_side = np.where(
+            valid_s & ~old_in_new, decay_factor * ss, -np.inf
+        )
+        all_keys = np.concatenate([nk, sk], axis=1)  # [A, 2C]
+        all_scores = np.concatenate([new_side, old_side], axis=1)
+        idx = np.argsort(-all_scores, axis=1, kind="stable")[:, :c]
+        state_keys[gi] = np.take_along_axis(all_keys, idx, axis=1)
+        state_scores[gi] = np.take_along_axis(all_scores, idx, axis=1)
+
+    state_keys[state_scores == -np.inf] = -1
+    return items_u, state_keys, state_scores
+
+
 def _scores_to_arrays(
     scores: dict[int, list[tuple[tuple, float]]], num_candidate_path: int,
     num_nodes: int,
@@ -218,11 +322,16 @@ def coordinate_descent(
         items_u, cand_keys, cand_scores = _collect_batch_arrays(
             trainer, train_seqs, train_targets, num_candidate_path, batch_size
         )
-    else:
+    elif mode == "streaming":
+        items_u, cand_keys, cand_scores = _collect_streaming_arrays(
+            trainer, train_seqs, train_targets, num_candidate_path,
+            batch_size, decay_factor,
+        )
+    else:  # "streaming_dict": reference-shaped per-sample loop (parity twin)
         items_u, cand_keys, cand_scores = _scores_to_arrays(
             collect_path_scores(
                 trainer, train_seqs, train_targets, num_candidate_path,
-                batch_size, mode, decay_factor,
+                batch_size, "streaming", decay_factor,
             ),
             num_candidate_path, num_nodes,
         )
