@@ -298,35 +298,17 @@ def make_dr_serving_fn(
     return fn
 
 
-def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
-    """Path-major block serving (see ``make_dr_serving_fn`` docstring)."""
-    from dismember_tpu.models.dr_models import rerank_user_vector
-    from dismember_tpu.retrieval.packed_beam import _decode_id_digits
-    from dismember_tpu.retrieval.tree_beam import onehot_select
+def _block_selectors(e: int, item_lanes: int, m_pad: int):
+    """Static lane-selection matmul matrices for block rows.
 
-    num_items = trainer.data.num_items
-    num_nodes = trainer.num_nodes
-    num_layers = trainer.num_layers
-    e = int(trainer.rerank_params["softmax_w"].shape[1])
-    # items appear on at most J paths, so top-(k*J) holds >= k unique items
-    j_paths = max(1, int(getattr(trainer, "num_paths", 1)))
-
-    block_tab, m_pad = _build_block_table(
-        trainer.rerank_params["softmax_w"],
-        trainer.rerank_params["softmax_b"],
-        np.asarray(dmap.path_items),
-        item_lanes,
-    )
+    Per-slot extraction as one-hot lane matmuls on the FULL-width rows:
+    reshaping the gathered blocks to [B, beam, m_pad, item_lanes] pads the
+    32-lane minor dim to the 128-lane tile — a 4x-blown copy + reshape worth
+    4.4 of 14.7 ms/batch at 10M items (xplane).  A [width, m_pad] selection
+    matmul is ~6G bf16 MACs — MXU noise.  Digit and bias lanes hold exact
+    bf16 integers <= 255, so the bf16 dot is exact (the CLAUDE.md
+    one-hot-contraction quantization hazard starts above 255)."""
     width = m_pad * item_lanes
-
-    # Per-slot extraction as static one-hot lane matmuls on the FULL-width
-    # rows: reshaping the gathered blocks to [B, beam, m_pad, item_lanes]
-    # pads the 32-lane minor dim to the 128-lane tile — a 4x-blown copy +
-    # reshape worth 4.4 of 14.7 ms/batch at 10M items (xplane).  A
-    # [width, m_pad] selection matmul is ~6G bf16 MACs — MXU noise.  Digit
-    # and bias lanes hold exact bf16 integers <= 255, so the bf16 dot is
-    # exact (the CLAUDE.md one-hot-contraction quantization hazard starts
-    # above 255).
     slot_sum = np.zeros((width, m_pad), np.float32)  # sums a slot's lanes
     bias_sel = np.zeros((width, m_pad), np.float32)
     valid_sel = np.zeros((width, m_pad), np.float32)
@@ -338,89 +320,139 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         valid_sel[base + e + 1 + _ID_DIGITS, i] = 1.0
         for d in range(_ID_DIGITS):
             digit_sel[d, base + e + 1 + d, i] = 1.0
-    slot_sum = jnp.asarray(slot_sum, jnp.bfloat16)
-    bias_sel = jnp.asarray(bias_sel, jnp.bfloat16)
-    valid_sel = jnp.asarray(valid_sel, jnp.bfloat16)
-    digit_sel = jnp.asarray(digit_sel, jnp.bfloat16)
+    return {
+        "slot_sum": jnp.asarray(slot_sum, jnp.bfloat16),
+        "bias_sel": jnp.asarray(bias_sel, jnp.bfloat16),
+        "valid_sel": jnp.asarray(valid_sel, jnp.bfloat16),
+        "digit_sel": jnp.asarray(digit_sel, jnp.bfloat16),
+    }
+
+
+def _score_blocks_topk(
+    blocks,  # [B, beam, width] bf16 gathered block rows
+    path_ok,  # [B, beam] bool
+    user_vec,  # [B, E] f32
+    consumed,  # [B, C] int32 or None
+    sels: dict,
+    e: int,
+    item_lanes: int,
+    m_pad: int,
+    k: int,
+    j_paths: int,
+):
+    """Score + dedup + top-k over gathered block rows (shared by the
+    single-device and the sharded serving paths)."""
+    from dismember_tpu.retrieval.packed_beam import _decode_id_digits
+    from dismember_tpu.retrieval.tree_beam import onehot_select
+
+    b, beam = path_ok.shape
+    # per-slot values via the static lane-selection matmuls: bias / id
+    # digits / valid are exact one-hot picks; the score sum rides the zero
+    # lanes of the padded user row
+    bias = jnp.einsum("bpw,wm->bpm", blocks, sels["bias_sel"]).astype(
+        jnp.float32
+    )
+    vlane = jnp.einsum("bpw,wm->bpm", blocks, sels["valid_sel"])
+    digits = jnp.stack(
+        [
+            jnp.einsum("bpw,wm->bpm", blocks, sels["digit_sel"][d])
+            for d in range(_ID_DIGITS)
+        ],
+        axis=-1,
+    )
+    ids = _decode_id_digits(digits, _ID_BASE)  # [B, beam, m_pad] int32
+    valid = (vlane > 0) & path_ok[:, :, None]
+
+    user_wide = jnp.tile(
+        jnp.pad(user_vec, ((0, 0), (0, item_lanes - e))), (1, m_pad)
+    )  # [B, width] f32; zero on non-weight lanes
+    # f32 products + HIGHEST slot-sum keep per-term rounding identical
+    # to the item-major path (one bf16 rounding, of the stored weight);
+    # the matmul is ~6G MACs, so the 3-pass cost is noise
+    scores = jnp.einsum(
+        "bpw,wm->bpm",
+        blocks.astype(jnp.float32) * user_wide[:, None, :],
+        sels["slot_sum"].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    c = beam * m_pad
+    cand = jnp.where(valid, ids, -1).reshape(b, c)
+    ok = valid.reshape(b, c)
+    if consumed is not None:
+        ok &= ~(cand[:, :, None] == consumed[:, None, :]).any(-1)
+    scores = jnp.where(
+        ok, scores.reshape(b, c) + bias.reshape(b, c), _NEG_INF
+    )
+
+    # items appear on at most J paths, so top-(k*J) holds >= k unique items
+    kj = min(c, max(k, k * j_paths))
+    top_s, top_i = jax.lax.top_k(scores, kj)
+    top_ids = onehot_select(cand, top_i)
+    top_ids = jnp.where(top_s > _NEG_INF / 2, top_ids, -1)
+    # exact dedup: duplicates of an item carry identical scores and
+    # top_k is stable, so masking every non-first occurrence and
+    # re-top-k-ing reproduces the sorted-dedup result
+    lower_kj = jnp.tril(jnp.ones((kj, kj), bool), -1)
+    eq = (top_ids[:, :, None] == top_ids[:, None, :]) & (
+        top_ids[:, None, :] >= 0
+    )
+    is_dup = (eq & lower_kj).any(-1)
+    fin_s, fin_i = jax.lax.top_k(jnp.where(is_dup, _NEG_INF, top_s), k)
+    fin_ids = onehot_select(top_ids, fin_i)
+    fin_ids = jnp.where(fin_s > _NEG_INF / 2, fin_ids, -1)
+    return fin_ids, fin_s
+
+
+def path_keys_and_dedup(paths, num_nodes: int):
+    """[B, beam, D] paths -> (base-K keys [B, beam], first-occurrence mask).
+
+    A padded beam (num_nodes < beam) repeats a path; only the first copy may
+    count, or an item could exceed the J-occurrence bound the block dedup
+    relies on."""
+    beam = paths.shape[1]
+    keys = jnp.zeros(paths.shape[:2], jnp.int32)
+    for d in range(paths.shape[2]):
+        keys = keys * num_nodes + paths[:, :, d]
+    lower = jnp.tril(jnp.ones((beam, beam), bool), -1)
+    dup_path = ((keys[:, :, None] == keys[:, None, :]) & lower).any(-1)
+    return keys, ~dup_path
+
+
+def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
+    """Path-major block serving (see ``make_dr_serving_fn`` docstring)."""
+    from dismember_tpu.models.dr_models import rerank_user_vector
+
+    num_items = trainer.data.num_items
+    num_nodes = trainer.num_nodes
+    num_layers = trainer.num_layers
+    e = int(trainer.rerank_params["softmax_w"].shape[1])
+    j_paths = max(1, int(getattr(trainer, "num_paths", 1)))
+
+    block_tab, m_pad = _build_block_table(
+        trainer.rerank_params["softmax_w"],
+        trainer.rerank_params["softmax_b"],
+        np.asarray(dmap.path_items),
+        item_lanes,
+    )
+    sels = _block_selectors(e, item_lanes, m_pad)
 
     # the block table is a jit ARGUMENT for the same reason packed_wb is:
     # closure-captured multi-GB device arrays become HLO literal constants
     @jax.jit
     def run(layer_params, rerank_params, block_tab, seqs, consumed=None):
-        b = seqs.shape[0]
         paths, _probs = path_beam_search(
             layer_params, seqs, beam, num_items, num_nodes, num_layers
         )  # [B, beam, D]
-        keys = jnp.zeros(paths.shape[:2], jnp.int32)
-        for d in range(num_layers):
-            keys = keys * num_nodes + paths[:, :, d]
+        keys, first = path_keys_and_dedup(paths, num_nodes)
         rows = dmap.path_table[keys]  # [B, beam]
-        # a padded beam (num_nodes < beam) repeats a path; keep the first
-        # copy only, or an item could exceed the J-occurrence bound the
-        # dedup relies on
-        lower = jnp.tril(jnp.ones((beam, beam), bool), -1)
-        dup_path = ((keys[:, :, None] == keys[:, None, :]) & lower).any(-1)
-        path_ok = (rows >= 0) & ~dup_path
-
+        path_ok = (rows >= 0) & first
         blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, width]
-
-        # per-slot values via the static lane-selection matmuls (see the
-        # closure comment): bias / id digits / valid are exact one-hot
-        # picks; the score sum rides the zero lanes of the padded user row
-        bias = jnp.einsum("bpw,wm->bpm", blocks, bias_sel).astype(
-            jnp.float32
-        )
-        vlane = jnp.einsum("bpw,wm->bpm", blocks, valid_sel)
-        digits = jnp.stack(
-            [
-                jnp.einsum("bpw,wm->bpm", blocks, digit_sel[d])
-                for d in range(_ID_DIGITS)
-            ],
-            axis=-1,
-        )
-        ids = _decode_id_digits(digits, _ID_BASE)  # [B, beam, m_pad] int32
-        valid = (vlane > 0) & path_ok[:, :, None]
-
         user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
-        user_wide = jnp.tile(
-            jnp.pad(user_vec, ((0, 0), (0, item_lanes - e))), (1, m_pad)
-        )  # [B, width] f32; zero on non-weight lanes
-        # f32 products + HIGHEST slot-sum keep per-term rounding identical
-        # to the item-major path (one bf16 rounding, of the stored weight);
-        # the matmul is ~6G MACs, so the 3-pass cost is noise
-        scores = jnp.einsum(
-            "bpw,wm->bpm",
-            blocks.astype(jnp.float32) * user_wide[:, None, :],
-            slot_sum.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+        return _score_blocks_topk(
+            blocks, path_ok, user_vec, consumed, sels,
+            e, item_lanes, m_pad, k, j_paths,
         )
-
-        c = beam * m_pad
-        cand = jnp.where(valid, ids, -1).reshape(b, c)
-        ok = valid.reshape(b, c)
-        if consumed is not None:
-            ok &= ~(cand[:, :, None] == consumed[:, None, :]).any(-1)
-        scores = jnp.where(ok, scores.reshape(b, c) + bias.reshape(b, c),
-                           _NEG_INF)
-
-        kj = min(c, max(k, k * j_paths))
-        top_s, top_i = jax.lax.top_k(scores, kj)
-        top_ids = onehot_select(cand, top_i)
-        top_ids = jnp.where(top_s > _NEG_INF / 2, top_ids, -1)
-        # exact dedup: duplicates of an item carry identical scores and
-        # top_k is stable, so masking every non-first occurrence and
-        # re-top-k-ing reproduces the sorted-dedup result
-        lower_kj = jnp.tril(jnp.ones((kj, kj), bool), -1)
-        eq = (top_ids[:, :, None] == top_ids[:, None, :]) & (
-            top_ids[:, None, :] >= 0
-        )
-        is_dup = (eq & lower_kj).any(-1)
-        fin_s, fin_i = jax.lax.top_k(
-            jnp.where(is_dup, _NEG_INF, top_s), k
-        )
-        fin_ids = onehot_select(top_ids, fin_i)
-        fin_ids = jnp.where(fin_s > _NEG_INF / 2, fin_ids, -1)
-        return fin_ids, fin_s
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
         return run(layer_params, rerank_params, block_tab, seqs, consumed)

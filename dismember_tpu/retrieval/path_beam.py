@@ -32,10 +32,17 @@ def path_beam_search(
     num_items: int,
     num_nodes: int,
     num_layers: int,
+    seq_parts=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (paths [B, beam, D] int32, probs [B, beam] float32)."""
+    """Returns (paths [B, beam, D] int32, probs [B, beam] float32).
+
+    ``seq_parts``: optional precomputed per-layer sequence contributions
+    (layer_seq_parts) — the sharded serving path (train/spmd_dr.py) computes
+    them from the row-sharded table and passes a node-table-only ``params``
+    with ``num_items=0``."""
     b = seqs.shape[0]
-    seq_parts = layer_seq_parts(params, seqs)
+    if seq_parts is None:
+        seq_parts = layer_seq_parts(params, seqs)
 
     # layer 0: probabilities over K from the bare sequence
     logits0 = layer_forward_beam(

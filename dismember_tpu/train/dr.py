@@ -70,7 +70,13 @@ class DRTrainer:
         seed: int = 0,
         path_index: PathIndex | None = None,
         sparse_embed_update: bool | None = None,
+        mesh=None,
     ):
+        """``mesh``: a ('data','model') jax mesh — the item-scaled tables
+        (layer embedding, rerank embedding, softmax w|b) row-shard on
+        'model' in packed p|m|v form with shard-local lazy-Adam updates
+        (train/spmd_dr.py), batches shard on 'data'.  Requires widths that
+        p|m|v-pack (pmv_slots(E) > 0 and pmv_slots(E+1) > 0)."""
         self.data = data
         self.num_layers = num_layers
         self.num_nodes = num_nodes
@@ -79,8 +85,23 @@ class DRTrainer:
         self.beam = beam_size
         self.num_sampled = num_sampled
         self.seed = seed
+        self.mesh = mesh
         self.num_targets_per_batch = max(1, train_batch_size // num_paths_per_item)
+        if mesh is not None:
+            from dismember_tpu.core.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            self.num_targets_per_batch = max(
+                n_data, self.num_targets_per_batch // n_data * n_data
+            )
         self.eval_targets_per_batch = max(1, eval_batch_size // num_paths_per_item)
+        if mesh is not None:
+            from dismember_tpu.core.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            self.eval_targets_per_batch = max(
+                n_data, self.eval_targets_per_batch // n_data * n_data
+            )
         self.path_index = path_index or PathIndex.random_init(
             data.num_items, num_layers, num_nodes, num_paths_per_item, seed
         )
@@ -110,7 +131,8 @@ class DRTrainer:
                 seq_len + num_paths_per_item * (num_layers - 1)
             )
             self._sparse = sparse_worthwhile(
-                data.num_items + num_nodes * (num_layers - 1), touched
+                data.num_items + num_nodes * (num_layers - 1), touched,
+                embed_dim=embed_size,
             )
         # pmv mode: params + moments share one 128-lane packed row, so the
         # whole table update is one gather + one Pallas row write (no XLA
@@ -127,7 +149,47 @@ class DRTrainer:
             and pmv_slots(embed_size + 1) > 0
         )
         self._mirrors_stale = False
-        if self._pmv:
+        self._embed_size = embed_size
+        if mesh is not None:
+            # sharded pmv mode (train/spmd_dr.py): the item-scaled tables +
+            # their lazy-Adam state row-shard on 'model', updates shard-local
+            if pmv_slots(embed_size) == 0 or pmv_slots(embed_size + 1) == 0:
+                raise ValueError(
+                    f"mesh mode needs p|m|v-packable widths; E={embed_size} "
+                    "does not pack (3*E and 3*(E+1) must fit 128 lanes)"
+                )
+            from dismember_tpu.core.mesh import MODEL_AXIS
+            from dismember_tpu.train import spmd_dr
+
+            self._sparse = True
+            self._pmv = True
+            (
+                self._layer_step_pmv,
+                self._rerank_step_pmv,
+                self.layer_opt_state,
+                self.rerank_opt_state,
+                self._shard_geometry,
+            ) = spmd_dr.make_sharded_dr_steps(self, mesh)
+            self._layer_step = self._layer_step_pmv_wrap
+            self._rerank_step = self._rerank_step_pmv_wrap
+            n_model = mesh.shape[MODEL_AXIS]
+            self._pmv_unpack = (
+                lambda st, v, e: spmd_dr.pmv_unpack_sharded(st, v, e, n_model)
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            _rowsh = NamedSharding(mesh, _P(MODEL_AXIS, None))
+
+            def _refresh(st, table):
+                new = spmd_dr.pmv_refresh_sharded(st, table, n_model)
+                return {
+                    "pmv": jax.device_put(new["pmv"], _rowsh),
+                    "count": new["count"],
+                }
+
+            self._pmv_refresh = _refresh
+            self._record_mirror_ids()
+        elif self._pmv:
             from dismember_tpu.train import sparse_adam
 
             self.layer_opt_state = (
@@ -156,6 +218,7 @@ class DRTrainer:
             # a whole-table one-shot program OOMs at 10M items (CLAUDE.md)
             self._pmv_unpack = sparse_adam.pmv_unpack
             self._pmv_refresh = sparse_adam.pmv_refresh
+            self._record_mirror_ids()
         elif self._sparse:
             from dismember_tpu.train import sparse_adam
 
@@ -438,7 +501,19 @@ class DRTrainer:
         """Rerank step on packed state: item embedding as a [V, E] p|m|v
         table, softmax projection as ONE [V, E+1] p|m|v table whose last
         param lane is the bias (bias gradient = d logits, appended as the
-        E+1-th gradient column — exactly the dense step's math)."""
+        E+1-th gradient column — exactly the dense step's math).
+
+        Deliberate deviation from the dense/reference path
+        (SampledSoftmaxLoss.scala:49-143 keeps a dense Adam over the bias,
+        as does the split-sparse step): folding the bias into the packed
+        w|b rows makes it LAZY per-touched-row Adam — bias rows of items
+        not among a step's candidates keep un-decayed moments and skip the
+        momentum-only nudge dense Adam would give them.  This is the same
+        lazy-vs-dense semantics the embedding tables already have, bounded
+        by ~lr per skipped step, and is what removes the pathological 1-D
+        [num_items] gather+scatter+dense-Adam pass (BASELINE.md).  The
+        bounded divergence is asserted in
+        tests/test_dr.py::test_pmv_lazy_bias_bounded_divergence."""
         from dismember_tpu.train import sparse_adam
 
         rest_opt, emb_pmv, wb_pmv = opt_state
@@ -531,24 +606,67 @@ class DRTrainer:
         self.rerank_params["softmax_w"] = wb[:, :e]
         self.rerank_params["softmax_b"] = wb[:, e]
         self._mirrors_stale = False
+        self._record_mirror_ids()
+
+    def _record_mirror_ids(self) -> None:
+        """Remember the identity of the mirror arrays we handed out, so
+        _adopt_mirrors can tell an external assignment (load_pytree etc.)
+        from the mirrors it produced itself."""
+        self._mirror_ids = {
+            "layer_embedding": id(self.layer_params["embedding"]),
+            "rerank_embedding": id(self.rerank_params["embedding"]),
+            "softmax_w": id(self.rerank_params["softmax_w"]),
+            "softmax_b": id(self.rerank_params["softmax_b"]),
+        }
+
+    def _replaced_mirrors(self) -> set[str]:
+        cur = {
+            "layer_embedding": id(self.layer_params["embedding"]),
+            "rerank_embedding": id(self.rerank_params["embedding"]),
+            "softmax_w": id(self.rerank_params["softmax_w"]),
+            "softmax_b": id(self.rerank_params["softmax_b"]),
+        }
+        return {k for k, v in cur.items() if v != self._mirror_ids[k]}
 
     def _adopt_mirrors(self) -> None:
         """Push externally-assigned param mirrors into the packed state's p
-        lanes (keeps moments).  Called at train() entry; when the packed
-        state is the newer side (_mirrors_stale), it is left untouched."""
-        if not getattr(self, "_pmv", False) or self._mirrors_stale:
+        lanes (keeps moments).  Called at train() entry.
+
+        When the packed state is the newer side (_mirrors_stale — e.g. after
+        raw-step driving as in bench scripts) the mirrors are normally left
+        untouched; but if an external assignment replaced a mirror array in
+        that window (detected by array identity), the external values win:
+        they are pushed into the packed state with a warning, since silently
+        overwriting a checkpoint load on the next _sync_mirrors would be
+        worse (ADVICE r2)."""
+        if not getattr(self, "_pmv", False):
             return
+        if self._mirrors_stale:
+            replaced = self._replaced_mirrors()
+            if not replaced:
+                return
+            logger.warning(
+                "param mirrors %s were externally replaced while the packed "
+                "p|m|v state was newer (raw-step driving without "
+                "_sync_mirrors); adopting the external values into the "
+                "packed state (moments kept). softmax w/b adopt jointly.",
+                sorted(replaced),
+            )
+        else:
+            replaced = {
+                "layer_embedding", "rerank_embedding", "softmax_w", "softmax_b"
+            }
         heads_opt, emb_pmv = self.layer_opt_state
-        self.layer_opt_state = (
-            heads_opt,
-            self._pmv_refresh(emb_pmv, self.layer_params["embedding"]),
-        )
+        if "layer_embedding" in replaced:
+            emb_pmv = self._pmv_refresh(emb_pmv, self.layer_params["embedding"])
+        self.layer_opt_state = (heads_opt, emb_pmv)
         rest_opt, remb_pmv, wb_pmv = self.rerank_opt_state
-        self.rerank_opt_state = (
-            rest_opt,
-            self._pmv_refresh(remb_pmv, self.rerank_params["embedding"]),
-            self._pmv_refresh(wb_pmv, self._wb_mirror()),
-        )
+        if "rerank_embedding" in replaced:
+            remb_pmv = self._pmv_refresh(remb_pmv, self.rerank_params["embedding"])
+        if "softmax_w" in replaced or "softmax_b" in replaced:
+            wb_pmv = self._pmv_refresh(wb_pmv, self._wb_mirror())
+        self.rerank_opt_state = (rest_opt, remb_pmv, wb_pmv)
+        self._record_mirror_ids()
 
     # ------------------------------------------------------------------
     def train(
@@ -682,7 +800,12 @@ class DRTrainer:
         m = len(d.eval_seqs)
         if m == 0:
             return DREvalResult([0.0] * self.num_layers, 0.0, 0.0, 0.0, 0.0)
-        serve = make_dr_serving_fn(self, topk=self.topk)
+        if self.mesh is not None:
+            from dismember_tpu.train.spmd_dr import make_sharded_dr_serving_fn
+
+            serve = make_sharded_dr_serving_fn(self, self.mesh, topk=self.topk)
+        else:
+            serve = make_dr_serving_fn(self, topk=self.topk)
         p2i = None if serve is not None else self.path_index.path_to_items()
         max_consumed = max(
             (len(d.user_consumed.get(int(u), ())) for u in d.eval_users),

@@ -409,3 +409,190 @@ def test_vectorized_batch_aggregation_matches_dict(dr_data):
             ), (only_g, only_w)
         for k in set(got) & set(want):
             np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
+
+
+def test_dr_split_sparse_steps_match_dense(dr_data):
+    """Trainer-level SPLIT-format sparse steps vs dense (ADVICE r2): embed
+    width 48 can't pack (3*48 > 128 lanes for pmv; 2*48 doesn't divide 128
+    for mv), so the trainer takes _layer_step_sparse_impl /
+    _rerank_step_sparse_impl — the 3-scatter fallback — end to end."""
+    kwargs = dict(
+        data=dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2,
+        embed_size=48, learning_rate=3e-3, seed=5, num_sampled=2,
+    )
+    dense = DRTrainer(sparse_embed_update=False, **kwargs)
+    sparse = DRTrainer(sparse_embed_update=True, **kwargs)
+    assert sparse._sparse and not sparse._pmv and not dense._sparse
+
+    d = dr_data
+    idx = np.arange(64)
+    seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
+    targets = d.train_targets[idx]
+    paths = jnp.asarray(dense.path_index.item_paths[targets], jnp.int32)
+    labels = jnp.asarray(targets, jnp.int32)
+    key = jax.random.PRNGKey(11)
+    for step in range(3):
+        dense.layer_params, dense.layer_opt_state, l_d = dense._layer_step(
+            dense.layer_params, dense.layer_opt_state, seqs, paths)
+        sparse.layer_params, sparse.layer_opt_state, l_s = sparse._layer_step(
+            sparse.layer_params, sparse.layer_opt_state, seqs, paths)
+        np.testing.assert_allclose(
+            np.asarray(l_d), np.asarray(l_s), rtol=1e-5,
+            err_msg=f"layer losses diverged at step {step}")
+        dense.rerank_params, dense.rerank_opt_state, r_d = dense._rerank_step(
+            dense.rerank_params, dense.rerank_opt_state, key, seqs, labels)
+        sparse.rerank_params, sparse.rerank_opt_state, r_s = (
+            sparse._rerank_step(
+                sparse.rerank_params, sparse.rerank_opt_state, key, seqs,
+                labels))
+        np.testing.assert_allclose(
+            float(r_d), float(r_s), rtol=1e-5,
+            err_msg=f"rerank loss diverged at step {step}")
+    np.testing.assert_allclose(
+        np.asarray(dense.layer_params["embedding"]),
+        np.asarray(sparse.layer_params["embedding"]),
+        rtol=2e-4, atol=2e-6)
+    for k in ("embedding", "softmax_w", "softmax_b"):
+        np.testing.assert_allclose(
+            np.asarray(dense.rerank_params[k]),
+            np.asarray(sparse.rerank_params[k]),
+            rtol=2e-4, atol=2e-6, err_msg=f"rerank {k} diverged")
+
+
+def test_pmv_lazy_bias_bounded_divergence(dr_data):
+    """pmv mode's documented deviation (train/dr.py _rerank_step_pmv_impl):
+    the softmax bias trains LAZILY per touched row, while the
+    dense/reference path (SampledSoftmaxLoss.scala:49-143) momentum-nudges
+    every row with live moments each step.  With small batches most bias
+    rows go untouched between steps, so the two must diverge — but only on
+    rows that were touched at least once, and only boundedly (each skipped
+    momentum-only nudge is O(lr))."""
+    kwargs = dict(
+        data=dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2,
+        embed_size=8, learning_rate=3e-3, seed=7, num_sampled=1,
+    )
+    dense = DRTrainer(sparse_embed_update=False, **kwargs)
+    pmv = DRTrainer(sparse_embed_update=True, **kwargs)
+    assert pmv._pmv and not dense._sparse
+
+    d = dr_data
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(23)
+    n_steps, bsz = 6, 16
+    for _ in range(n_steps):
+        idx = rng.integers(0, len(d.train_targets), size=bsz)
+        seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
+        labels = jnp.asarray(d.train_targets[idx], jnp.int32)
+        key, sub = jax.random.split(key)
+        dense.rerank_params, dense.rerank_opt_state, r_d = dense._rerank_step(
+            dense.rerank_params, dense.rerank_opt_state, sub, seqs, labels)
+        pmv.rerank_params, pmv.rerank_opt_state, r_p = pmv._rerank_step(
+            pmv.rerank_params, pmv.rerank_opt_state, sub, seqs, labels)
+        # losses track closely: the loss reads only this step's touched rows
+        np.testing.assert_allclose(float(r_d), float(r_p), rtol=5e-2)
+    pmv._sync_mirrors()
+    b_d = np.asarray(dense.rerank_params["softmax_b"])
+    b_p = np.asarray(pmv.rerank_params["softmax_b"])
+    # rows never touched have zero grads -> zero moments -> both stay at the
+    # zero init; every row that moved in one moved in the other
+    moved_d, moved_p = b_d != 0.0, b_p != 0.0
+    np.testing.assert_array_equal(moved_d, moved_p)
+    assert moved_d.sum() < len(b_d)  # small batches leave rows untouched
+    # the deviation is real (touched-then-idle rows skip momentum nudges)...
+    diff = np.abs(b_d - b_p)
+    assert diff.max() > 0.0
+    # ...and bounded: at most n_steps skipped nudges, each O(lr) (Adam's
+    # m_hat/sqrt(v_hat) ratio stays O(1) for a momentum-only tail)
+    assert diff.max() < 10 * 3e-3 * n_steps
+    # weights diverge the same bounded way
+    w_diff = np.abs(
+        np.asarray(dense.rerank_params["softmax_w"])
+        - np.asarray(pmv.rerank_params["softmax_w"])
+    )
+    assert w_diff.max() < 10 * 3e-3 * n_steps
+
+
+def test_vectorized_streaming_aggregation_matches_dict(dr_data):
+    """_collect_streaming_arrays (rank-synchronous fold) must reproduce the
+    reference-shaped per-sample dict merge (streamingPathScore semantics):
+    same item set, same candidate sets and decayed scores, with set-vs-array
+    order differing only on exact score ties."""
+    from dismember_tpu.train.dr_coordinate import (
+        _collect_streaming_arrays,
+        _path_keys,
+        collect_path_scores,
+    )
+
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        train_batch_size=1024, beam_size=10, seed=0,
+    )
+    tr.train(num_epochs=1)
+    seqs = dr_data.train_seqs[:1500]
+    targets = dr_data.train_targets[:1500]
+    c, decay = 10, 0.999
+    items_u, cand_keys, cand_scores = _collect_streaming_arrays(
+        tr, seqs, targets, c, 512, decay
+    )
+    ref = collect_path_scores(
+        tr, seqs, targets, c, 512, mode="streaming", decay_factor=decay
+    )
+
+    assert set(int(i) for i in items_u) == set(ref)
+    for i, item in enumerate(items_u):
+        got = {
+            int(k): float(s)
+            for k, s in zip(cand_keys[i], cand_scores[i])
+            if k >= 0
+        }
+        want = {
+            int(_path_keys(np.asarray(p, np.int64), 20)): v
+            for p, v in ref[int(item)]
+        }
+        if set(got) != set(want):
+            only_g = {k: got[k] for k in set(got) - set(want)}
+            only_w = {k: want[k] for k in set(want) - set(got)}
+            assert np.allclose(
+                sorted(only_g.values()), sorted(only_w.values()), rtol=1e-9
+            ), (only_g, only_w)
+        for k in set(got) & set(want):
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
+
+
+def test_streaming_fold_handles_duplicate_beam_paths():
+    """When a padded beam repeats a path (identical prob), the fold must
+    count it once — like the dict, which keys one entry per path."""
+    from dismember_tpu.train import dr_coordinate as dc
+
+    class Stub:
+        num_nodes = 4
+        num_layers = 2
+        beam = 3
+
+        def beam_search_paths(self, seqs):
+            n = len(seqs)
+            # every sample returns path (1,2) twice + (0,3) once
+            paths = np.tile(
+                np.asarray([[[1, 2], [0, 3], [1, 2]]], np.int32), (n, 1, 1)
+            )
+            probs = np.tile(np.asarray([[0.5, 0.3, 0.5]]), (n, 1))
+            return paths, probs
+
+    tr = Stub()
+    seqs = np.zeros((4, 3), np.int64)
+    targets = np.asarray([7, 7, 9, 7], np.int64)
+    items_u, keys, scores = dc._collect_streaming_arrays(
+        tr, seqs, targets, 3, 2, 0.5
+    )
+    np.testing.assert_array_equal(items_u, [7, 9])
+    k12 = 1 * 4 + 2
+    k03 = 0 * 4 + 3
+    # item 7, 3 occurrences of the same candidate set:
+    # s1 = 0.5 ; s2 = 0.5*s1 + 0.5 = 0.75 ; s3 = 0.875 (path (1,2))
+    got7 = {int(k): float(s) for k, s in zip(keys[0], scores[0]) if k >= 0}
+    assert set(got7) == {k12, k03}
+    np.testing.assert_allclose(got7[k12], 0.875, rtol=1e-12)
+    np.testing.assert_allclose(got7[k03], 0.3 * (1 + 0.5 + 0.25), rtol=1e-12)
+    got9 = {int(k): float(s) for k, s in zip(keys[1], scores[1]) if k >= 0}
+    np.testing.assert_allclose(got9[k12], 0.5, rtol=1e-12)
+    np.testing.assert_allclose(got9[k03], 0.3, rtol=1e-12)
