@@ -27,6 +27,12 @@ _INFLIGHT = 8  # DMAs in flight
 
 def _on_tpu() -> bool:
     try:
+        # a jax.default_device(cpu) scope (the multi-chip dryrun on a TPU-
+        # default machine) must route to the XLA fallback even though the
+        # process default backend is the TPU plugin
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", str(dd)) == "tpu"
         return jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         return False

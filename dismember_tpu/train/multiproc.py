@@ -165,3 +165,140 @@ def run_tdm_steps(
         "beam_ids": beam["ids"],
         "beam_scores": beam["scores"],
     }
+
+
+def run_deep_serving(
+    n_items: int = 1 << 14,
+    n_model: int = 2,
+    global_batch_size: int = 16,
+    embed_size: int = 16,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Deep-serving + sharded-DR leg over all global devices.
+
+    Grows the multi-process harness past toy shapes (a 2^14-item tree, so
+    cross-process gathers actually exercise the table-shard exchange) and
+    covers the paths the train-step leg doesn't:
+
+    - the packed/hybrid deep-catalog beam with its pair table row-sharded
+      on 'model' (train/spmd.make_sharded_packed_beam_fn);
+    - Deep Retrieval's sharded pmv E-step (one layer + one rerank step) and
+      the sharded block-rerank serving (train/spmd_dr.py).
+
+    Like run_tdm_steps, the same SPMD program runs under any process
+    layout, so results must match across layouts (tests/test_multiproc.py).
+    Returns host numpy results gathered to every process.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dismember_tpu.core import mesh as meshlib, multihost
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.index.tree_io import category_sorted_codes, write_tree
+    from dismember_tpu.models import din
+    from dismember_tpu.retrieval.packed_beam import make_packed_tree
+    from dismember_tpu.train.spmd import make_sharded_packed_beam_fn
+
+    devices = jax.devices()
+    mesh = meshlib.make_mesh(
+        n_data=len(devices) // n_model, n_model=n_model, devices=devices
+    )
+    rep = multihost.replicated
+
+    # --- deep tree from host 0 -------------------------------------------
+    if multihost.process_index() == 0:
+        ids = np.arange(1, n_items + 1)
+        sorted_ids, codes = category_sorted_codes(ids, ids % 97)
+    else:
+        sorted_ids = np.zeros(n_items, dtype=np.int64)
+        codes = np.zeros(n_items, dtype=np.int64)
+    sorted_ids, codes = multihost.broadcast_from_host0([sorted_ids, codes])
+    multihost.assert_same_across_hosts(codes, "deep leaf codes")
+    with tempfile.TemporaryDirectory() as td:
+        tree_path = os.path.join(td, "tree.bin")
+        write_tree(tree_path, sorted_ids, codes)
+        tree = ArrayTree.from_file(tree_path)
+
+    num_index = (1 << (tree.max_level + 1)) - 1
+    params = din.init_params(jax.random.PRNGKey(seed), num_index, embed_size)
+    packed = make_packed_tree(tree, params["embedding"], beam=8)
+    beam_fn = make_sharded_packed_beam_fn(
+        packed, mesh, din.precompute_seq, din.apply_from_emb
+    )
+    rng = np.random.default_rng(seed + 1)
+    seq_codes = tree.ids_to_codes(
+        rng.integers(1, n_items + 1, size=(global_batch_size, 10))
+    ).astype(np.int32)
+    sc = multihost.device_batch(mesh, seq_codes)
+    params_g = rep(mesh, params)
+    ids, scores = beam_fn(params_g, sc)
+    packed_out = multihost.gather_to_host({"ids": ids, "scores": scores})
+
+    # --- sharded Deep Retrieval: E-step + block serving -------------------
+    from dismember_tpu.data.dr_dataset import DRData
+    from dismember_tpu.train import spmd_dr
+    from dismember_tpu.train.dr import DRTrainer
+
+    n_dr, L, n_rows = 4096, 6, 64
+    rng2 = np.random.default_rng(seed + 2)  # same seed everywhere
+    data = DRData(
+        item_to_id={i: i for i in range(n_dr)},
+        id_to_item={i: i for i in range(n_dr)},
+        num_items=n_dr,
+        train_seqs=rng2.integers(0, n_dr, size=(n_rows, L)).astype(np.int64),
+        train_targets=rng2.integers(0, n_dr, size=n_rows).astype(np.int64),
+        eval_seqs=np.zeros((0, L), np.int64),
+        eval_labels=np.zeros((0, 1), np.int64),
+        eval_users=np.zeros(0, np.int64),
+        user_consumed={},
+    )
+    multihost.assert_same_across_hosts(data.train_targets, "dr targets")
+    trainer = DRTrainer(
+        data, num_layers=2, num_nodes=16, num_paths_per_item=2,
+        embed_size=8, learning_rate=3e-3, seed=seed, num_sampled=2,
+        beam_size=4, seq_len=L, mesh=mesh,
+    )
+    seqs, paths, labels = (
+        multihost.device_batch(
+            mesh,
+            data.train_seqs.astype(np.int32),
+            trainer.path_index.item_paths[data.train_targets].astype(np.int32),
+            data.train_targets.astype(np.int32),
+        )
+    )
+    trainer.layer_params, trainer.layer_opt_state, layer_losses = (
+        trainer._layer_step(
+            trainer.layer_params, trainer.layer_opt_state, seqs, paths
+        )
+    )
+    key = rep(mesh, jax.random.PRNGKey(seed + 3))
+    trainer.rerank_params, trainer.rerank_opt_state, rerank_loss = (
+        trainer._rerank_step(
+            trainer.rerank_params, trainer.rerank_opt_state, key, seqs, labels
+        )
+    )
+    trainer._sync_mirrors()
+    serve = spmd_dr.make_sharded_dr_serving_fn(trainer, mesh, topk=5)
+    eval_seqs = rng2.integers(0, n_dr, size=(global_batch_size, L)).astype(
+        np.int32
+    )
+    es = multihost.device_batch(mesh, eval_seqs)
+    consumed = multihost.device_batch(
+        mesh, np.full((global_batch_size, 1), -1, np.int32)
+    )
+    dr_ids, dr_scores = serve(
+        trainer.layer_params, trainer.rerank_params, es, consumed
+    )
+    dr_out = multihost.gather_to_host({"ids": dr_ids, "scores": dr_scores})
+
+    return {
+        "packed_ids": packed_out["ids"],
+        "packed_scores": packed_out["scores"],
+        "dr_layer_losses": np.asarray(layer_losses),
+        "dr_rerank_loss": float(rerank_loss),
+        "dr_ids": dr_out["ids"],
+        "dr_scores": dr_out["scores"],
+    }

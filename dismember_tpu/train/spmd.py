@@ -150,6 +150,75 @@ def make_sharded_packed_beam_fn(
     return lambda params, seq_codes: run(params, seq_codes, table, prefix)
 
 
+def make_sharded_forward(forward, mesh, params):
+    """Batched scoring over the mesh — JTM's aggregateWeights pass (SURVEY
+    P5, jtm/.../optim/TreeLearning.scala:152-174): score rows sharded on
+    'data', the node-embedding table row-sharded on 'model' (GSPMD lowers
+    the chain-code gathers to masked partial gathers + psum over ICI).
+
+    Returns (fn(params, codes [R, C], seqs [R, L]) -> logits [R, C],
+    sharded_params); R must divide by the 'data' axis.
+    """
+    params = pad_embedding_rows(params, mesh)
+    pspec = meshlib.param_spec(params)
+    pshard = meshlib.shard_like(pspec, mesh)
+    params = jax.device_put(params, pshard)
+    bshard = NamedSharding(mesh, P(meshlib.DATA_AXIS, None))
+    run = jax.jit(
+        forward,
+        in_shardings=(pshard, bshard, bshard),
+        out_shardings=bshard,
+    )
+    return run, params
+
+
+def make_sharded_otm_train_batch(trainer, mesh):
+    """OTM's whole-batch dispatch (pseudo targets + frozen-model beam
+    trajectory + the per-level lax.scan of sequential BCE+Adam steps,
+    otm/.../optim/LocalOptimizer.scala:55-130) pjit over the mesh: batch
+    sharded on 'data', node table row-sharded on 'model', Adam moments
+    inheriting the parameter sharding.
+
+    Returns (step_fn, sharded_params, sharded_opt_state) with the same
+    signature as ``trainer._train_batch``.  Dense-Adam path only (the
+    sharded-sparse composition lives in train/spmd_sparse.py for TDM; OTM's
+    scan-carried sparse state would need the same treatment).
+    """
+    if trainer._sparse:
+        raise ValueError("sharded OTM batch supports the dense-Adam path")
+    import jax.numpy as jnp
+
+    old_rows = trainer.params["embedding"].shape[0]
+    params = pad_embedding_rows(trainer.params, mesh)
+    pad = params["embedding"].shape[0] - old_rows
+
+    def pad_moment(leaf):
+        # Adam moments matching the old table pad with zero rows (padding
+        # rows are never touched, so zero moments = exact continuation)
+        if getattr(leaf, "shape", None) == (old_rows, params["embedding"].shape[1]):
+            return jnp.pad(leaf, ((0, pad), (0, 0)))
+        return leaf
+
+    opt_state = (
+        jax.tree.map(pad_moment, trainer.opt_state) if pad else trainer.opt_state
+    )
+    pspec = meshlib.param_spec(params)
+    pshard = meshlib.shard_like(pspec, mesh)
+    params = jax.device_put(params, pshard)
+    ospec = meshlib.opt_state_spec(opt_state, pspec, params)
+    oshard = meshlib.shard_like(ospec, mesh)
+    opt_state = jax.device_put(opt_state, oshard)
+    bshard = NamedSharding(mesh, P(meshlib.DATA_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(
+        trainer._train_batch_impl,
+        in_shardings=(pshard, oshard, bshard, bshard),
+        out_shardings=(pshard, oshard, rep),
+        donate_argnums=(0, 1),
+    )
+    return step, params, opt_state
+
+
 def make_sharded_train_step(
     forward: Callable,
     sampler,

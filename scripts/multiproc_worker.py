@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--global-batch", type=int, default=16)
     ap.add_argument("--n-model", type=int, default=2)
+    ap.add_argument("--mode", choices=["tdm", "deep"], default="tdm")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -41,6 +42,21 @@ def main() -> None:
     import jax
 
     assert jax.process_count() == args.num_processes, jax.process_count()
+    if args.mode == "deep":
+        result = multiproc.run_deep_serving(
+            n_model=args.n_model, global_batch_size=args.global_batch
+        )
+        if args.out and jax.process_index() == 0:
+            import numpy as np
+
+            np.savez(args.out, **result)
+        print(
+            f"multiproc deep worker {args.process_id}/{args.num_processes}: "
+            f"{len(jax.devices())} global devices, "
+            f"rerank_loss={result['dr_rerank_loss']:.4f}",
+            flush=True,
+        )
+        return
     result = multiproc.run_tdm_steps(
         steps=args.steps,
         global_batch_size=args.global_batch,

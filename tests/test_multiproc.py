@@ -102,3 +102,65 @@ def test_two_process_matches_single_process(tmp_path):
         )
         compared += 1
     assert compared >= 3  # embedding + mlp weights at minimum
+
+
+@pytest.mark.skipif(
+    os.environ.get("DISMEMBER_SKIP_MULTIPROC") == "1",
+    reason="multi-process run disabled",
+)
+def test_two_process_deep_serving_matches_single_process(tmp_path):
+    """Deep-serving leg across a real process boundary: the packed/hybrid
+    beam with its pair table row-sharded on 'model' (2^14-item tree, so
+    cross-process table-shard gathers carry real traffic), plus the sharded
+    DR pmv E-step and block serving — all must match the single-process run
+    of the same SPMD program."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices for the reference run")
+
+    from dismember_tpu.train.multiproc import run_deep_serving
+
+    ref = run_deep_serving()  # single-process, 8 devices
+
+    out_path = str(tmp_path / "mp_deep.npz")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, WORKER,
+            "--process-id", str(pid),
+            "--num-processes", "2",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--local-devices", "4",
+            "--mode", "deep",
+        ]
+        if pid == 0:
+            cmd += ["--out", out_path]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, cwd=REPO_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"deep worker failed:\n{out}"
+    got = np.load(out_path)
+
+    np.testing.assert_array_equal(got["packed_ids"], ref["packed_ids"])
+    np.testing.assert_allclose(
+        got["packed_scores"], ref["packed_scores"], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        got["dr_layer_losses"], ref["dr_layer_losses"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(got["dr_rerank_loss"]), ref["dr_rerank_loss"], rtol=1e-6
+    )
+    np.testing.assert_array_equal(got["dr_ids"], ref["dr_ids"])
+    np.testing.assert_allclose(
+        got["dr_scores"], ref["dr_scores"], rtol=1e-5, atol=1e-6
+    )
