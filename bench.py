@@ -37,6 +37,10 @@ from devtime import device_time_ms
 # inflated by the O(table) dense-Adam cost difference, not real progress).
 R01_DEEP_QPS_1M = 50_000.0
 R01_TRAIN_ROWS_10M = 108_000.0
+# Round-2 measured 10M-item SERVING numbers (BASELINE.md) — previously only
+# prose; captured here so regressions in the deepest regime fail the driver.
+R02_TDM_SERVE_QPS_10M = 264_000.0
+R02_DR_SERVE_QPS_10M = 288_000.0
 
 
 def _deep_tree(n_items: int):
@@ -116,7 +120,35 @@ def deep_catalog_bench() -> None:
         ),
         flush=True,
     )
-    del trainer, tree, sc, tc  # release the 10M-scale device buffers
+
+    # --- serving QPS at 10M items (hybrid beam over the bf16 pair table) --
+    # The deepest serving regime (4GB pair table, chunked build); previously
+    # only a BASELINE.md prose row.  Free the optimizer state first — the
+    # serve path needs only the embedding table.
+    trainer.opt_state = None
+    packed10 = make_packed_tree(
+        tree, trainer.params["embedding"], beam=20, dtype=jnp.bfloat16
+    )
+    beam_fn10 = make_hybrid_beam_fn(
+        packed10, din.precompute_seq, din.apply_from_emb
+    )
+    x10 = jnp.asarray(
+        tree.ids_to_codes(rng.integers(1, n_train + 1, size=(4096, 10)))
+    )
+    ms10 = device_time_ms(lambda: beam_fn10(trainer.params, x10), iters=10)
+    qps10 = 4096 / (ms10 / 1e3) if ms10 > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "tdm_deep_catalog_beam_qps_10m_items",
+                "value": round(qps10, 1),
+                "unit": "queries/s (beam=20, 10M items, 24 levels, bf16 pair table; xplane device time)",
+                "vs_baseline": round(qps10 / R02_TDM_SERVE_QPS_10M, 3),
+            }
+        ),
+        flush=True,
+    )
+    del trainer, tree, sc, tc, packed10, beam_fn10, x10  # release 10M buffers
 
     # --- serving QPS at 1M items (hybrid packed loop — serving default) ---
     n_serve = 1_000_000
@@ -236,6 +268,33 @@ def dr_deep_catalog_bench() -> None:
                 "value": round(rows_per_s, 1),
                 "unit": "expanded rows/s (10M items, layer+rerank E-step; xplane device time)",
                 "vs_baseline": round(rows_per_s / 181_000.0, 3),  # round-2 dense
+            }
+        ),
+        flush=True,
+    )
+
+    # --- serving QPS at 10M items (path-major block rerank table) ---------
+    # The hardest-won serving number of round 2, previously BASELINE.md
+    # prose only.  Mirrors must be synced for the serve tables; the packed
+    # p|m|v optimizer state is dropped first (~7.7GB) — serving reads the
+    # [V, E] mirrors.
+    trainer._sync_mirrors()
+    trainer.layer_opt_state = None
+    trainer.rerank_opt_state = None
+    fn10 = make_dr_serving_fn(trainer, beam=20, topk=10)
+    q10 = jnp.asarray(data.train_seqs[:batch], jnp.int32)
+    ms10 = device_time_ms(
+        lambda: fn10(trainer.layer_params, trainer.rerank_params, q10),
+        iters=10,
+    )
+    qps10 = batch / (ms10 / 1e3) if ms10 > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "dr_deep_catalog_serving_qps_10m_items",
+                "value": round(qps10, 1),
+                "unit": "queries/s (D=3, K=100, J=2, beam=20, 10M items, block rerank; xplane device time)",
+                "vs_baseline": round(qps10 / R02_DR_SERVE_QPS_10M, 3),
             }
         ),
         flush=True,

@@ -1,0 +1,287 @@
+"""End-to-end quality at a 1M-item catalog (VERDICT r2 #4).
+
+Every deep-catalog number so far is synthetic *throughput*; every quality
+number is the 3.3k-item movielens sample.  This script shows that training
+at 1M items actually LEARNS — loss decreases and held-out recall improves
+across one full alternation round — for TDM (train -> re-cluster tree from
+learned embeddings -> retrain) and DR (train -> coordinate descent ->
+retrain).  The reference cannot run this protocol at this scale at all
+(single-JVM, dense CPU training); the alternation semantics match
+doc/TDM.md / doc/Deep-Retrieval.md.
+
+Synthetic catalog with learnable structure: G genre blocks over 1M items;
+each user draws two genres (Zipf) and a 30-item stream from them (Zipf
+within genre, 85/15 genre mix).  Per user: first items -> sliding training
+windows (seq_len 10 -> next-item target, the TreeInit windowing), last
+``eval_tail`` items held out for recall@10 with consumed filtering.
+
+Usage:
+  python scripts/quality_1m.py tdm [--items 1000000 --users 150000]
+  python scripts/quality_1m.py dr  [...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SEQ_LEN = 10
+STREAM = 30
+EVAL_TAIL = 4
+
+
+def gen_catalog(n_items, n_users, n_genres, seed=0):
+    """Returns (train_seqs [N,L], train_targets [N], eval_seqs [M,L],
+    eval_labels [M,EVAL_TAIL], eval_users [M], consumed dict) in RAW item
+    ids 1..n_items (0 = padding)."""
+    rng = np.random.default_rng(seed)
+    per_genre = n_items // n_genres
+
+    # user genre pair: Zipf over genres; item within genre: Zipf over block
+    g_rank = rng.permutation(n_genres)
+    g_p = 1.0 / (np.arange(1, n_genres + 1) ** 1.05)
+    g_p /= g_p.sum()
+    u_g1 = g_rank[rng.choice(n_genres, size=n_users, p=g_p)]
+    u_g2 = g_rank[rng.choice(n_genres, size=n_users, p=g_p)]
+
+    i_p = 1.0 / (np.arange(1, per_genre + 1) ** 1.2)
+    i_p /= i_p.sum()
+    # stream: per position pick genre1 w.p. 0.85 else genre2, then a
+    # Zipf-ranked item inside that genre's block
+    pick2 = rng.random(size=(n_users, STREAM)) < 0.15
+    g = np.where(pick2, u_g2[:, None], u_g1[:, None])
+    ranks = rng.choice(per_genre, size=(n_users, STREAM), p=i_p)
+    # per-genre rank->item shuffle (cheap: offset by a per-genre rotation)
+    rot = rng.integers(0, per_genre, size=n_genres)
+    items = g * per_genre + (ranks + rot[g]) % per_genre + 1  # 1-based ids
+
+    # windows: targets at positions SEQ_LEN .. STREAM-EVAL_TAIL-1
+    t_lo, t_hi = SEQ_LEN, STREAM - EVAL_TAIL
+    n_win = t_hi - t_lo
+    idx = np.arange(SEQ_LEN)[None, :] + np.arange(n_win)[:, None]  # [W, L]
+    train_seqs = items[:, idx].reshape(n_users * n_win, SEQ_LEN)
+    train_targets = items[:, t_lo:t_hi].reshape(-1)
+
+    eval_seqs = items[:, t_hi - SEQ_LEN : t_hi]
+    eval_labels = items[:, t_hi:]
+    eval_users = np.arange(n_users)
+    consumed = {u: items[u, :t_hi] for u in range(n_users)}
+    return (
+        train_seqs.astype(np.int64), train_targets.astype(np.int64),
+        eval_seqs.astype(np.int64), eval_labels.astype(np.int64),
+        eval_users, consumed,
+    )
+
+
+def _recall_tdm(trainer, eval_seqs, eval_labels, consumed, eval_users,
+                n_eval=20_000, batch=4096):
+    """recall@10 over a fixed eval subset (consumed-filtered)."""
+    from dismember_tpu.core.metrics import compute_metrics_batch
+
+    sel = slice(0, n_eval)
+    recs = trainer.recommend_batch(
+        eval_seqs[sel],
+        consumed=[consumed[int(u)] for u in eval_users[sel]],
+        batch_size=batch,
+    )
+    rec_padded = np.full((len(recs), trainer.topk), -1, dtype=np.int64)
+    for i, r in enumerate(recs):
+        rec_padded[i, : len(r)] = r
+    p, r, nd = compute_metrics_batch(rec_padded, eval_labels[sel])
+    m = len(recs)
+    return float(r.sum()) / m, float(nd.sum()) / m
+
+
+def run_tdm(args) -> None:
+    from dismember_tpu.index.arraytree import ArrayTree
+    from dismember_tpu.index.cluster import tree_cluster
+    from dismember_tpu.index.tree_io import write_tree
+    from dismember_tpu.train.tdm import TDMTrainer
+
+    (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
+     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+    n = args.items
+    rng = np.random.default_rng(args.seed)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    leaf_level = int(np.ceil(np.log2(n)))
+    # RANDOM initial tree: the alternation must earn its structure
+    codes0 = (1 << leaf_level) - 1 + rng.permutation(n)
+
+    neg_counts = None
+
+    def make_trainer(codes):
+        nonlocal neg_counts
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "t.bin")
+            write_tree(p, ids, codes)
+            tree = ArrayTree.from_file(p)
+        if neg_counts is None:
+            neg_counts = ",".join(
+                str(min(i, 2**i - 1)) for i in range(tree.max_level + 1)
+            )
+        return TDMTrainer(
+            tree=tree, model_type="din", embed_size=args.embed,
+            learning_rate=args.lr, total_batch_size=args.batch,
+            layer_neg_counts=neg_counts, topk=10, beam_size=20,
+            seed=args.seed,
+        ), tree
+
+    def stage(name, trainer, iters):
+        t0 = time.perf_counter()
+        logs = trainer.train(
+            train_seqs, train_targets, iterations=iters,
+            progress_interval=max(iters // 8, 1),
+        )
+        wall = time.perf_counter() - t0
+        first, last = logs[0]["train_loss"], logs[-1]["train_loss"]
+        t1 = time.perf_counter()
+        rec, nd = _recall_tdm(
+            trainer, eval_seqs, eval_labels, consumed, eval_users
+        )
+        print(json.dumps({
+            "stage": name, "loss_first": round(first, 4),
+            "loss_last": round(last, 4), "recall@10": round(rec, 5),
+            "ndcg@10": round(nd, 5), "train_wall_s": round(wall, 1),
+            "eval_wall_s": round(time.perf_counter() - t1, 1),
+        }), flush=True)
+        return rec
+
+    trainer, tree = make_trainer(codes0)
+    r1 = stage("tdm_train_random_tree", trainer, args.iters)
+
+    # re-cluster the tree from the learned leaf embeddings
+    t0 = time.perf_counter()
+    emb = np.asarray(trainer.params["embedding"])[
+        tree.ids_to_codes(ids)
+    ].astype(np.float32)
+    _, new_codes = tree_cluster(ids, emb, cluster_iter=5, seed=args.seed)
+    cluster_wall = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "tdm_recluster", "wall_s": round(cluster_wall, 1),
+    }), flush=True)
+
+    trainer2, _ = make_trainer(new_codes)
+    r2 = stage("tdm_retrain_clustered_tree", trainer2, args.iters)
+    print(json.dumps({
+        "stage": "tdm_summary", "recall_before": round(r1, 5),
+        "recall_after": round(r2, 5),
+        "improved": bool(r2 > r1),
+    }), flush=True)
+
+
+def run_dr(args) -> None:
+    from dismember_tpu.core.metrics import compute_metrics_batch
+    from dismember_tpu.data.dr_dataset import DRData
+    from dismember_tpu.retrieval.dr_serve import make_dr_serving_fn
+    from dismember_tpu.train.dr import DRTrainer
+    from dismember_tpu.train.dr_coordinate import coordinate_descent
+
+    (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
+     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+    # DR uses dense 0-based ids
+    data = DRData(
+        item_to_id={}, id_to_item={}, num_items=args.items,
+        train_seqs=train_seqs - 1, train_targets=train_targets - 1,
+        eval_seqs=np.empty((0, SEQ_LEN), np.int64),
+        eval_labels=np.empty((0, 1), np.int64),
+        eval_users=np.empty((0,), np.int64), user_consumed={},
+    )
+    trainer = DRTrainer(
+        data, num_layers=3, num_nodes=100, num_paths_per_item=2,
+        embed_size=args.embed, learning_rate=args.lr,
+        train_batch_size=args.batch, num_sampled=8, seed=args.seed,
+    )
+
+    import jax.numpy as jnp
+
+    def recall(n_eval=20_000, batch=4096):
+        fn = make_dr_serving_fn(trainer, beam=20, topk=10)
+        rec_sum = nd_sum = cnt = 0.0
+        es = eval_seqs[:n_eval] - 1
+        for s in range(0, len(es), batch):
+            e = min(s + batch, len(es))
+            b = e - s
+            sp = es[s:e]
+            if b < batch:
+                sp = np.concatenate([sp, np.repeat(sp[:1], batch - b, 0)])
+            cons = np.full((batch, STREAM - EVAL_TAIL), -1, np.int32)
+            for i in range(b):
+                cons[i] = consumed[int(eval_users[s + i])] - 1
+            items, _ = fn(
+                trainer.layer_params, trainer.rerank_params,
+                jnp.asarray(sp, jnp.int32), jnp.asarray(cons),
+            )
+            got = np.asarray(items)[:b]
+            p, r, nd = compute_metrics_batch(got, eval_labels[s:e] - 1)
+            rec_sum += float(r.sum()); nd_sum += float(nd.sum()); cnt += b
+        return rec_sum / cnt, nd_sum / cnt
+
+    def stage(name, epochs):
+        t0 = time.perf_counter()
+        trainer.train(num_epochs=epochs)
+        wall = time.perf_counter() - t0
+        losses = trainer.train_loss_log
+        t1 = time.perf_counter()
+        rec, nd = recall()
+        print(json.dumps({
+            "stage": name,
+            "layer_loss_first": [round(x, 4) for x in losses[0]["layer_loss"]],
+            "layer_loss_last": [round(x, 4) for x in losses[-1]["layer_loss"]],
+            "rerank_loss_last": round(losses[-1]["rerank_loss"], 4),
+            "recall@10": round(rec, 5), "ndcg@10": round(nd, 5),
+            "train_wall_s": round(wall, 1),
+            "eval_wall_s": round(time.perf_counter() - t1, 1),
+        }), flush=True)
+        return rec
+
+    r1 = stage("dr_train_random_paths", args.epochs)
+
+    t0 = time.perf_counter()
+    new_index = coordinate_descent(
+        trainer, data.train_seqs, data.train_targets,
+        num_candidate_path=20, batch_size=8192, mode=args.cd_mode,
+        seed=args.seed,
+    )
+    trainer.path_index = new_index
+    cd_wall = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": f"dr_coordinate_descent_{args.cd_mode}",
+        "wall_s": round(cd_wall, 1),
+    }), flush=True)
+
+    r2 = stage("dr_retrain_learned_paths", max(args.epochs // 2, 1))
+    print(json.dumps({
+        "stage": "dr_summary", "recall_before": round(r1, 5),
+        "recall_after": round(r2, 5), "improved": bool(r2 > r1),
+    }), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("algo", choices=["tdm", "dr"])
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--users", type=int, default=150_000)
+    ap.add_argument("--genres", type=int, default=2000)
+    ap.add_argument("--embed", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=20_000)  # tdm
+    ap.add_argument("--epochs", type=int, default=2)  # dr
+    ap.add_argument("--cd-mode", default="streaming")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.algo == "tdm":
+        run_tdm(args)
+    else:
+        run_dr(args)
+
+
+if __name__ == "__main__":
+    main()
