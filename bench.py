@@ -392,8 +392,24 @@ def main() -> None:
 
 if __name__ == "__main__":
     # deep-catalog rows first; the headline metric stays the LAST JSON line
-    # (the driver's parsed record) for round-over-round comparability
+    # (the driver's parsed record) for round-over-round comparability.
+    # Each section is fenced: the remote-compile relay occasionally drops a
+    # response ("response body closed before all bytes were read"), and one
+    # transient failure must not cost the driver the remaining rows.
     if os.environ.get("DISMEMBER_BENCH_DEEP", "1") != "0":
-        deep_catalog_bench()
-        dr_deep_catalog_bench()
+        for section in (deep_catalog_bench, dr_deep_catalog_bench):
+            try:
+                section()
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"{section.__name__}_error",
+                            "value": 0,
+                            "unit": f"{type(exc).__name__}: {exc}"[:200],
+                            "vs_baseline": 0,
+                        }
+                    ),
+                    flush=True,
+                )
     main()

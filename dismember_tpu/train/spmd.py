@@ -56,6 +56,13 @@ def make_sharded_beam_fn(
     frontier's arbitrary-row gathers onto ICI collectives (all-to-all style
     exchange between table shards).  Returns (beam_fn, sharded_params);
     the batch size must divide the 'data' axis.
+
+    Small/mid-catalog path only: ``node_meta`` ([V, 2] f32) is REPLICATED
+    here, which at deep catalogs is exactly the narrow-table relayout
+    pathology the packed pair table was built to kill (a [2M, 2] copy costs
+    ~3.6ms — CLAUDE.md).  Deep catalogs serve through
+    :func:`make_sharded_packed_beam_fn`, whose 128-lane pair rows fold the
+    metadata lanes in and row-shard with the table.
     """
     from jax.sharding import NamedSharding
 
