@@ -80,6 +80,24 @@ def gen_catalog(n_items, n_users, n_genres, seed=0):
     )
 
 
+def _popularity_recall(train_targets, eval_labels, consumed, eval_users,
+                       n_eval=20_000, topk=10):
+    """Context baseline: top-k most frequent training targets, consumed-
+    filtered per user.  Zipf-heavy synthetic data makes this strong; the
+    learned model must beat it for the quality claim to mean anything."""
+    from dismember_tpu.core.metrics import compute_metrics_batch
+
+    vals, counts = np.unique(train_targets, return_counts=True)
+    pop = vals[np.argsort(-counts)][: topk + STREAM]
+    recs = np.empty((n_eval, topk), np.int64)
+    for i in range(n_eval):
+        cons = set(consumed[int(eval_users[i])].tolist())
+        row = [p for p in pop if int(p) not in cons][:topk]
+        recs[i] = row + [-1] * (topk - len(row))
+    _, r, nd = compute_metrics_batch(recs, eval_labels[:n_eval])
+    return float(r.mean()), float(nd.mean())
+
+
 def _recall_tdm(trainer, eval_seqs, eval_labels, consumed, eval_users,
                 n_eval=20_000, batch=4096):
     """recall@10 over a fixed eval subset (consumed-filtered)."""
@@ -153,6 +171,14 @@ def run_tdm(args) -> None:
         }), flush=True)
         return rec
 
+    pop_rec, pop_nd = _popularity_recall(
+        train_targets, eval_labels, consumed, eval_users
+    )
+    print(json.dumps({
+        "stage": "popularity_baseline", "recall@10": round(pop_rec, 5),
+        "ndcg@10": round(pop_nd, 5),
+    }), flush=True)
+
     trainer, tree = make_trainer(codes0)
     r1 = stage("tdm_train_random_tree", trainer, args.iters)
 
@@ -169,10 +195,42 @@ def run_tdm(args) -> None:
 
     trainer2, _ = make_trainer(new_codes)
     r2 = stage("tdm_retrain_clustered_tree", trainer2, args.iters)
+
+    # JTM tree learning (the reference's model-matched index relearn,
+    # doc/JTM.md): assign items to leaves maximizing the CURRENT model's
+    # score — this is the alternation step designed for the train/serve
+    # mismatch a clustered tree creates (beam candidates at depth are hard
+    # siblings; training negatives are uniform per level).
+    from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
+
+    t0 = time.perf_counter()
+    learner = TreeLearner(
+        tree=trainer2.tree, params=trainer2.params, forward=trainer2.forward,
+        train_seqs=train_seqs[: args.jtm_rows],
+        train_targets=train_targets[: args.jtm_rows],
+        gap=2, score_batch_rows=65536,
+    )
+    proj = learner.optimize()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t3.bin")
+        write_projection_tree(trainer2.tree, proj, p)
+        from dismember_tpu.index.arraytree import ArrayTree as _AT
+
+        tree3 = _AT.from_file(p)
     print(json.dumps({
-        "stage": "tdm_summary", "recall_before": round(r1, 5),
-        "recall_after": round(r2, 5),
-        "improved": bool(r2 > r1),
+        "stage": "tdm_jtm_tree_learning", "wall_s":
+        round(time.perf_counter() - t0, 1),
+    }), flush=True)
+    trainer3 = TDMTrainer(
+        tree=tree3, model_type="din", embed_size=args.embed,
+        learning_rate=args.lr, total_batch_size=args.batch,
+        layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=args.seed,
+    )
+    r3 = stage("tdm_retrain_jtm_tree", trainer3, args.iters)
+    print(json.dumps({
+        "stage": "tdm_summary", "recall_random": round(r1, 5),
+        "recall_clustered": round(r2, 5), "recall_jtm": round(r3, 5),
+        "improved": bool(max(r2, r3) > r1),
     }), flush=True)
 
 
@@ -241,6 +299,14 @@ def run_dr(args) -> None:
         }), flush=True)
         return rec
 
+    pop_rec, pop_nd = _popularity_recall(
+        train_targets, eval_labels, consumed, eval_users
+    )
+    print(json.dumps({
+        "stage": "popularity_baseline", "recall@10": round(pop_rec, 5),
+        "ndcg@10": round(pop_nd, 5),
+    }), flush=True)
+
     r1 = stage("dr_train_random_paths", args.epochs)
 
     t0 = time.perf_counter()
@@ -271,10 +337,15 @@ def main() -> None:
     ap.add_argument("--genres", type=int, default=2000)
     ap.add_argument("--embed", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-3)
-    ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--iters", type=int, default=20_000)  # tdm
+    ap.add_argument("--batch", type=int, default=65_536)
+    ap.add_argument("--iters", type=int, default=16_000)  # tdm: ~2 epochs of
+    # the default 2.4M-window train set at ~310 targets/step (the first cut
+    # used 8192-row batches = 38 targets/step, so 20k iters saw <1/3 of an
+    # epoch — the re-clustered tree was built from undertrained embeddings
+    # and LOST to the random tree, 0.052 -> 0.020 recall@10)
     ap.add_argument("--epochs", type=int, default=2)  # dr
     ap.add_argument("--cd-mode", default="streaming")
+    ap.add_argument("--jtm-rows", type=int, default=2_000_000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.algo == "tdm":
