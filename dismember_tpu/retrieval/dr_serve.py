@@ -244,12 +244,15 @@ def make_dr_serving_fn(
 
     from dismember_tpu.models.dr_models import rerank_user_vector
 
-    # the packed table is a jit ARGUMENT, not a closure capture: a closed-over
-    # 2.6GB device array would be baked into the HLO as a literal constant
-    # (observed: "2.74GB of constants captured during lowering" + a compile
-    # that never finished through the relay)
+    # the packed table AND the path-map arrays are jit ARGUMENTS, not
+    # closure captures: closed-over device arrays are baked into the HLO as
+    # literal constants (observed: "2.74GB of constants captured during
+    # lowering" + a compile that never finished through the relay; and after
+    # coordinate descent widened path_items to [n_paths, 128] at 1M items,
+    # a ~400MB literal made the relay reject the compile with HTTP 413)
     @jax.jit
-    def run(layer_params, rerank_params, packed_wb, seqs, consumed=None):
+    def run(layer_params, rerank_params, packed_wb, path_table, path_items,
+            seqs, consumed=None):
         b = seqs.shape[0]
         paths, _probs = path_beam_search(
             layer_params, seqs, beam, num_items, num_nodes, num_layers
@@ -258,9 +261,9 @@ def make_dr_serving_fn(
         keys = jnp.zeros(paths.shape[:2], jnp.int32)
         for d in range(num_layers):
             keys = keys * num_nodes + paths[:, :, d]
-        rows = dmap.path_table[keys]  # [B, beam]
+        rows = path_table[keys]  # [B, beam]
         cand = jnp.where(
-            (rows >= 0)[:, :, None], dmap.path_items[jnp.maximum(rows, 0)], -1
+            (rows >= 0)[:, :, None], path_items[jnp.maximum(rows, 0)], -1
         ).reshape(b, beam * m)
         # in-row dedup: value-sort (invalid -> sentinel at the back), keep the
         # first occurrence of each item.  A direct jnp.sort — argsort +
@@ -293,8 +296,12 @@ def make_dr_serving_fn(
         return top_items, top_scores
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        return run(layer_params, rerank_params, packed_wb, seqs, consumed)
+        return run(layer_params, rerank_params, packed_wb, dmap.path_table,
+                   dmap.path_items, seqs, consumed)
 
+    fn._run = run  # introspection hook for the no-baked-literal test
+    fn._dmap = dmap
+    fn._packed_wb = packed_wb
     return fn
 
 
@@ -437,15 +444,17 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
     )
     sels = _block_selectors(e, item_lanes, m_pad)
 
-    # the block table is a jit ARGUMENT for the same reason packed_wb is:
-    # closure-captured multi-GB device arrays become HLO literal constants
+    # the block table and path_table are jit ARGUMENTS for the same reason
+    # packed_wb is: closure-captured device arrays become HLO literal
+    # constants (multi-GB for the table; [K^D] for the path map)
     @jax.jit
-    def run(layer_params, rerank_params, block_tab, seqs, consumed=None):
+    def run(layer_params, rerank_params, block_tab, path_table, seqs,
+            consumed=None):
         paths, _probs = path_beam_search(
             layer_params, seqs, beam, num_items, num_nodes, num_layers
         )  # [B, beam, D]
         keys, first = path_keys_and_dedup(paths, num_nodes)
-        rows = dmap.path_table[keys]  # [B, beam]
+        rows = path_table[keys]  # [B, beam]
         path_ok = (rows >= 0) & first
         blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, width]
         user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
@@ -455,6 +464,10 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         )
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        return run(layer_params, rerank_params, block_tab, seqs, consumed)
+        return run(layer_params, rerank_params, block_tab, dmap.path_table,
+                   seqs, consumed)
 
+    fn._run = run
+    fn._dmap = dmap
+    fn._block_tab = block_tab
     return fn

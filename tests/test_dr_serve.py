@@ -108,3 +108,33 @@ def test_block_serving_consumed_and_dedup(trained):
         tr.layer_params, tr.rerank_params, seqs, jnp.asarray(consumed)
     )
     assert ids[0, 0] not in np.asarray(out)[0]
+
+
+@pytest.mark.parametrize("mode", ["packed", "block"])
+def test_serving_hlo_has_no_baked_path_map(trained, mode):
+    """The path map and serving tables must be jit ARGUMENTS, not closure
+    captures: baked literals scale the compile request with the catalog
+    (at 1M items, a post-coordinate-descent [n_paths, 128] path_items
+    literal (~400MB) made the remote-compile relay reject the program
+    with HTTP 413).  Guard: no captured constant of the traced program may
+    have the path map's or serving table's shape."""
+    import jax
+
+    tr = trained
+    fn = make_dr_serving_fn(tr, topk=5, rerank_table=mode)
+    seqs = jnp.zeros((4, tr.data.train_seqs.shape[1]), jnp.int32)
+    if mode == "packed":
+        ex = (tr.layer_params, tr.rerank_params, fn._packed_wb,
+              fn._dmap.path_table, fn._dmap.path_items, seqs)
+        tables = (fn._packed_wb, fn._dmap.path_table, fn._dmap.path_items)
+    else:
+        ex = (tr.layer_params, tr.rerank_params, fn._block_tab,
+              fn._dmap.path_table, seqs)
+        tables = (fn._block_tab, fn._dmap.path_table, fn._dmap.path_items)
+    closed = jax.make_jaxpr(fn._run.__wrapped__)(*ex)
+    catalog_shapes = {tuple(t.shape) for t in tables}
+    baked = [
+        c for c in closed.consts
+        if hasattr(c, "shape") and tuple(c.shape) in catalog_shapes
+    ]
+    assert not baked, [c.shape for c in baked]
