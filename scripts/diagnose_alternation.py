@@ -72,7 +72,7 @@ def eval_tree(name, trainer, eval_seqs, eval_labels, eval_users, consumed,
               per_genre, beams=(20, 40, 80)):
     from dismember_tpu.core.metrics import compute_metrics_batch
 
-    sel = slice(0, N_EVAL)
+    sel = slice(0, min(N_EVAL, len(eval_users)))
     cons = [consumed[int(u)] for u in eval_users[sel]]
     out = {"stage": name}
     for cn in beams:
@@ -123,7 +123,8 @@ def main() -> None:
     anc_level = int(np.ceil(np.log2(args.genres)))
 
     pop_rec, _ = _popularity_recall(
-        train_targets, eval_labels, consumed, eval_users, n_eval=N_EVAL
+        train_targets, eval_labels, consumed, eval_users,
+        n_eval=min(N_EVAL, len(eval_users)),
     )
     print(json.dumps({"stage": "popularity_baseline",
                       "recall@10": round(pop_rec, 5)}), flush=True)
