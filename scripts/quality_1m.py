@@ -130,8 +130,18 @@ def run_tdm(args) -> None:
     rng = np.random.default_rng(args.seed)
     ids = np.arange(1, n + 1, dtype=np.int64)
     leaf_level = int(np.ceil(np.log2(n)))
-    # RANDOM initial tree: the alternation must earn its structure
-    codes0 = (1 << leaf_level) - 1 + rng.permutation(n)
+    if args.init == "random":
+        # random initial tree: the alternation must earn its structure.
+        # Measured outcome (BASELINE.md): at 1M items the model LEARNS but
+        # 2-epoch embeddings of a random tree cluster near-randomly
+        # (diagnose_alternation.py purity 0.028 vs 0.747 ceiling), so the
+        # relearned trees hurt recall.
+        codes0 = (1 << leaf_level) - 1 + rng.permutation(n)
+    else:
+        # the reference's init (TreeInit/category_sorted_codes): ids are
+        # genre-contiguous by construction, so identity order = category
+        # sort
+        codes0 = (1 << leaf_level) - 1 + (ids - 1)
 
     neg_counts = None
 
@@ -181,9 +191,32 @@ def run_tdm(args) -> None:
     }), flush=True)
 
     trainer, tree = make_trainer(codes0)
-    r1 = stage("tdm_train_random_tree", trainer, args.iters)
+    r1 = stage(f"tdm_train_{args.init}_tree", trainer, args.iters)
 
-    # re-cluster the tree from the learned leaf embeddings
+    # re-cluster the tree from the learned leaf embeddings; genre purity of
+    # the level-ceil(log2(G)) subtrees diagnoses cluster quality (items are
+    # genre-contiguous by id, so genre(id) = (id-1)//per_genre)
+    per_genre = n // args.genres
+    anc_level = int(np.ceil(np.log2(args.genres)))
+
+    def purity(codes):
+        anc = codes.copy()
+        for _ in range(leaf_level - anc_level):
+            anc = (anc - 1) // 2
+        g = (ids - 1) // per_genre
+        order = np.lexsort((g, anc))
+        anc_s, g_s = anc[order], g[order]
+        new_run = np.ones(len(anc_s), bool)
+        new_run[1:] = (anc_s[1:] != anc_s[:-1]) | (g_s[1:] != g_s[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        run_counts = np.bincount(run_ids)
+        run_anc = anc_s[new_run]
+        best = {}
+        for a, c in zip(run_anc, run_counts):
+            if c > best.get(a, 0):
+                best[a] = c
+        return float(sum(best.values())) / n
+
     t0 = time.perf_counter()
     emb = np.asarray(trainer.params["embedding"])[
         tree.ids_to_codes(ids)
@@ -192,6 +225,8 @@ def run_tdm(args) -> None:
     cluster_wall = time.perf_counter() - t0
     print(json.dumps({
         "stage": "tdm_recluster", "wall_s": round(cluster_wall, 1),
+        "purity": round(purity(new_codes), 4),
+        "purity_init": round(purity(codes0), 4),
     }), flush=True)
 
     trainer2, _ = make_trainer(new_codes)
@@ -199,14 +234,15 @@ def run_tdm(args) -> None:
 
     # JTM tree learning (the reference's model-matched index relearn,
     # doc/JTM.md): assign items to leaves maximizing the CURRENT model's
-    # score — this is the alternation step designed for the train/serve
-    # mismatch a clustered tree creates (beam candidates at depth are hard
-    # siblings; training negatives are uniform per level).
+    # score.  The alternation continues from the better stage so far — a
+    # relearn off a degraded tree/model compounds the damage (measured:
+    # JTM off the near-random clustered tree gave 0.042 vs 0.062).
     from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
 
+    base = trainer2 if r2 >= r1 else trainer
     t0 = time.perf_counter()
     learner = TreeLearner(
-        tree=trainer2.tree, params=trainer2.params, forward=trainer2.forward,
+        tree=base.tree, params=base.params, forward=base.forward,
         train_seqs=train_seqs[: args.jtm_rows],
         train_targets=train_targets[: args.jtm_rows],
         gap=2, score_batch_rows=65536,
@@ -214,13 +250,15 @@ def run_tdm(args) -> None:
     proj = learner.optimize()
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "t3.bin")
-        write_projection_tree(trainer2.tree, proj, p)
+        write_projection_tree(base.tree, proj, p)
         from dismember_tpu.index.arraytree import ArrayTree as _AT
 
         tree3 = _AT.from_file(p)
+    jtm_codes = tree3.ids_to_codes(ids)
     print(json.dumps({
         "stage": "tdm_jtm_tree_learning", "wall_s":
         round(time.perf_counter() - t0, 1),
+        "purity": round(purity(jtm_codes), 4),
     }), flush=True)
     trainer3 = TDMTrainer(
         tree=tree3, model_type="din", embed_size=args.embed,
@@ -229,7 +267,8 @@ def run_tdm(args) -> None:
     )
     r3 = stage("tdm_retrain_jtm_tree", trainer3, args.iters)
     print(json.dumps({
-        "stage": "tdm_summary", "recall_random": round(r1, 5),
+        "stage": "tdm_summary", "init": args.init,
+        "recall_init_tree": round(r1, 5),
         "recall_clustered": round(r2, 5), "recall_jtm": round(r3, 5),
         "improved": bool(max(r2, r3) > r1),
     }), flush=True)
@@ -384,6 +423,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=2)  # dr
     ap.add_argument("--em-rounds", type=int, default=3)  # dr
     ap.add_argument("--cd-mode", default="streaming")
+    ap.add_argument("--init", default="random", choices=["random", "category"])
     ap.add_argument("--jtm-rows", type=int, default=2_000_000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
