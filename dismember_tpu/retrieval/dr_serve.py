@@ -38,8 +38,19 @@ class DevicePathMap:
 
     @classmethod
     def build(
-        cls, index: PathIndex, max_items_per_path: int = 128, max_table: int = 1 << 24
+        cls, index: PathIndex, max_items_per_path: int = 128,
+        max_table: int = 1 << 24, item_priority: np.ndarray | None = None,
     ) -> "DevicePathMap | None":
+        """``item_priority`` (e.g. training-frequency counts) orders each
+        overflowing path's items before the cut at ``max_items_per_path``,
+        so truncation drops the LEAST important items.  Without it the cut
+        follows dict insertion order — measured at 1M items after
+        coordinate descent (hot paths hold the popular items): recall@10
+        0.0157 capped vs 0.0492 uncapped, because the arbitrarily-dropped
+        items were exactly the Zipf-popular eval labels.  The reference's
+        host-dict serving (DeepRetrieval.recommend:26-46) has no cap at
+        all; priority-ordered truncation keeps the device table's memory
+        bound while preserving the high-mass items."""
         k, d = index.num_nodes, index.num_layers
         size = k**d
         if size > max_table:
@@ -57,6 +68,9 @@ class DevicePathMap:
             table[key] = row
             if len(its) > m:
                 truncated += 1
+                if item_priority is not None:
+                    arr = np.asarray(its)
+                    its = arr[np.argsort(-item_priority[arr], kind="stable")]
             items[row, : min(len(its), m)] = its[:m]
         return cls(
             path_table=jnp.asarray(table),
@@ -172,6 +186,18 @@ def _build_block_table(
     return buf, m_pad
 
 
+def _train_frequency_priority(trainer) -> np.ndarray | None:
+    """Per-item training-target counts as the truncation priority for
+    ``DevicePathMap.build`` (None when the trainer carries no data)."""
+    data = getattr(trainer, "data", None)
+    targets = getattr(data, "train_targets", None)
+    if targets is None or len(targets) == 0:
+        return None
+    return np.bincount(
+        np.asarray(targets, np.int64), minlength=data.num_items
+    )
+
+
 def make_dr_serving_fn(
     trainer, beam: int | None = None, topk: int | None = None,
     max_items_per_path: int = 128, rerank_table: str = "auto",
@@ -202,7 +228,10 @@ def make_dr_serving_fn(
     bf16 tables round the weights the same way the MXU rounds matmul
     operands, so ranking differences vs the exact path only arise on
     near-ties."""
-    dmap = DevicePathMap.build(trainer.path_index, max_items_per_path)
+    dmap = DevicePathMap.build(
+        trainer.path_index, max_items_per_path,
+        item_priority=_train_frequency_priority(trainer),
+    )
     if dmap is None:
         return None
     beam = beam or trainer.beam

@@ -397,7 +397,12 @@ def make_sharded_dr_serving_fn(
     from dismember_tpu.retrieval.path_beam import path_beam_search
     from dismember_tpu.train.spmd_sparse import gather_rows_sharded
 
-    dmap = DevicePathMap.build(trainer.path_index, max_items_per_path)
+    from dismember_tpu.retrieval.dr_serve import _train_frequency_priority
+
+    dmap = DevicePathMap.build(
+        trainer.path_index, max_items_per_path,
+        item_priority=_train_frequency_priority(trainer),
+    )
     if dmap is None:
         return None
     beam = beam or trainer.beam

@@ -138,3 +138,26 @@ def test_serving_hlo_has_no_baked_path_map(trained, mode):
         if hasattr(c, "shape") and tuple(c.shape) in catalog_shapes
     ]
     assert not baked, [c.shape for c in baked]
+
+
+def test_truncation_keeps_high_priority_items():
+    """Overflowing paths keep the top-m items by priority (training
+    frequency), not dict insertion order: at 1M items the coordinate-
+    descent index piles popular items onto hot paths, and arbitrary
+    truncation dropped exactly the Zipf-popular eval labels (recall@10
+    0.0157 capped vs 0.0492 uncapped, BASELINE.md)."""
+    from dismember_tpu.index.paths import PathIndex
+
+    n_items, k, d = 40, 5, 2
+    # every item on the SAME path -> one path with 40 items; J=1
+    item_paths = np.zeros((n_items, 1, d), np.int32)
+    idx = PathIndex(item_paths=item_paths, num_nodes=k)
+    prio = np.arange(n_items)[::-1].copy()  # item 0 most frequent
+    dmap = DevicePathMap.build(idx, max_items_per_path=8, item_priority=prio)
+    assert dmap.truncated_paths == 1
+    row = np.asarray(dmap.path_table)[0]
+    kept = np.asarray(dmap.path_items)[row]
+    np.testing.assert_array_equal(sorted(kept.tolist()), list(range(8)))
+    # without priority: insertion order (whatever it is), still 8 items
+    dmap2 = DevicePathMap.build(idx, max_items_per_path=8)
+    assert (np.asarray(dmap2.path_items)[np.asarray(dmap2.path_table)[0]] >= 0).sum() == 8
