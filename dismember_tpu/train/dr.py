@@ -738,9 +738,13 @@ class DRTrainer:
         return results
 
     # ------------------------------------------------------------------
-    def beam_search_paths(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def beam_search_paths_async(self, seqs: np.ndarray):
+        """Dispatch one beam-search batch and return DEVICE arrays (no
+        host sync) — lets callers pipeline batches so the device/relay
+        computes batch i+1 while the host drains batch i (the blocked
+        per-batch fetch dominated coordinate descent's wall time)."""
         self._sync_mirrors()
-        paths, probs = path_beam_search(
+        return path_beam_search(
             self.layer_params,
             jnp.asarray(seqs, jnp.int32),
             self.beam,
@@ -748,6 +752,9 @@ class DRTrainer:
             self.num_nodes,
             self.num_layers,
         )
+
+    def beam_search_paths(self, seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        paths, probs = self.beam_search_paths_async(seqs)
         return np.asarray(paths), np.asarray(probs)
 
     def recommend_batch(

@@ -65,6 +65,37 @@ def _keys_to_paths(keys: np.ndarray, num_nodes: int, num_layers: int) -> np.ndar
     return out
 
 
+def _pipelined_beam(trainer, train_seqs, cand: int, batch_size: int,
+                    window: int = 4):
+    """Yield ``(s, e, paths [b,C] int64, probs [b,C] f64)`` per batch with a
+    FIFO window of in-flight device beam searches: the device (and the
+    ~30ms-RTT relay) runs batch i+1..i+W while the host converts batch i.
+    FIFO drain preserves the serial loop's batch order exactly."""
+    from collections import deque
+
+    n = len(train_seqs)
+    old_beam = trainer.beam
+    trainer.beam = cand
+    # trainer-likes (test stubs) may only provide the blocking call; the
+    # window then degrades to the serial loop
+    search = getattr(
+        trainer, "beam_search_paths_async", trainer.beam_search_paths
+    )
+    try:
+        inflight: deque = deque()
+        for s in range(0, n, batch_size):
+            e = min(s + batch_size, n)
+            inflight.append((s, e, search(train_seqs[s:e])))
+            if len(inflight) >= window:
+                s0, e0, (p0, pr0) = inflight.popleft()
+                yield s0, e0, np.asarray(p0, np.int64), np.asarray(pr0, np.float64)
+        while inflight:
+            s0, e0, (p0, pr0) = inflight.popleft()
+            yield s0, e0, np.asarray(p0, np.int64), np.asarray(pr0, np.float64)
+    finally:
+        trainer.beam = old_beam
+
+
 def collect_path_scores(
     trainer,
     train_seqs: np.ndarray,
@@ -137,19 +168,16 @@ def _collect_batch_arrays(
     assert float(k) ** d < 2**62, "path key overflows int64"
     c = num_candidate_path
     n = len(train_seqs)
-    old_beam = trainer.beam
     items_acc, keys_acc, sc_acc = [], [], []
-    for s in range(0, n, batch_size):
-        e = min(s + batch_size, n)
-        trainer.beam = c
-        paths, probs = trainer.beam_search_paths(train_seqs[s:e])
-        trainer.beam = old_beam
-        keys = _path_keys(np.asarray(paths, np.int64), k)  # [b, C]
+    for s, e, paths, probs in _pipelined_beam(
+        trainer, train_seqs, c, batch_size
+    ):
+        keys = _path_keys(paths, k)  # [b, C]
         items_acc.append(
             np.repeat(np.asarray(train_targets[s:e], np.int64), keys.shape[1])
         )
         keys_acc.append(keys.ravel())
-        sc_acc.append(np.asarray(probs, np.float64).ravel())
+        sc_acc.append(probs.ravel())
     items = np.concatenate(items_acc)
     keys = np.concatenate(keys_acc)
     sc = np.concatenate(sc_acc)
@@ -206,16 +234,13 @@ def _collect_streaming_arrays(
     assert float(k) ** trainer.num_layers < 2**62, "path key overflows int64"
     c = num_candidate_path
     n = len(train_seqs)
-    old_beam = trainer.beam
     keys_all = np.empty((n, c), np.int64)
     probs_all = np.empty((n, c), np.float64)
-    for s in range(0, n, batch_size):
-        e = min(s + batch_size, n)
-        trainer.beam = c
-        paths, probs = trainer.beam_search_paths(train_seqs[s:e])
-        trainer.beam = old_beam
-        keys_all[s:e] = _path_keys(np.asarray(paths, np.int64), k)
-        probs_all[s:e] = np.asarray(probs, np.float64)
+    for s, e, paths, probs in _pipelined_beam(
+        trainer, train_seqs, c, batch_size
+    ):
+        keys_all[s:e] = _path_keys(paths, k)
+        probs_all[s:e] = probs
 
     # in-sample dedup: a padded beam (beam > #paths) repeats a path with an
     # identical prob; the dict built one entry per key — mask repeats so the

@@ -117,17 +117,37 @@ class GenericTreeLearner:
             # per-row chain codes: chain[item_of_row]
             row_chain = chain[self.row_item_pos]  # [R, 2^d]
             r_total = len(seq_codes)
+            # Pipelined dispatch: keep a FIFO window of in-flight score
+            # calls so the device (and the ~30ms-RTT relay) computes batch
+            # i+1..i+W while the host fetches batch i and accumulates.
+            # The blocked per-batch loop was ~86-96% of the sweep's wall
+            # (scripts/profile_jtm_sweep.py); host prep/add.at is <15%, so
+            # overlap hides nearly all host time + fetch latency.  FIFO
+            # drain keeps the np.add.at order identical to the serial loop
+            # (bit-identical weights).
+            from collections import deque
+
+            inflight: deque = deque()
             for s in range(0, r_total, self.score_batch_rows):
                 e = min(s + self.score_batch_rows, r_total)
-                logits = np.asarray(
-                    self._score_fn(
-                        self.params,
-                        jnp.asarray(row_chain[s:e], jnp.int32),
-                        jnp.asarray(seq_codes[s:e], jnp.int32),
-                    ),
-                    dtype=np.float64,
+                out = self._score_fn(
+                    self.params,
+                    jnp.asarray(row_chain[s:e], jnp.int32),
+                    jnp.asarray(seq_codes[s:e], jnp.int32),
                 )
-                np.add.at(weights, self.row_item_pos[s:e], logits)
+                inflight.append((s, e, out))
+                if len(inflight) >= 8:
+                    s0, e0, o0 = inflight.popleft()
+                    np.add.at(
+                        weights, self.row_item_pos[s0:e0],
+                        np.asarray(o0, dtype=np.float64),
+                    )
+            while inflight:
+                s0, e0, o0 = inflight.popleft()
+                np.add.at(
+                    weights, self.row_item_pos[s0:e0],
+                    np.asarray(o0, dtype=np.float64),
+                )
 
         # items that never appear as a target
         has_rows = np.zeros(n_items, dtype=bool)
