@@ -169,16 +169,23 @@ def filter_topk(
     """Host-side consumed filtering + final top-k per row.
 
     Mirrors Recommender.recommendItems:18-38 (filterNot consumed, sort by
-    score desc, take topk).
-    """
-    out = []
-    for i in range(item_ids.shape[0]):
-        ids = item_ids[i]
-        sc = scores[i]
-        ok = ids >= 0
-        if consumed is not None and len(consumed[i]) > 0:
-            ok &= ~np.isin(ids, consumed[i])
-        ids, sc = ids[ok], sc[ok]
-        order = np.argsort(-sc, kind="stable")[:topk]
-        out.append(ids[order])
-    return out
+    score desc, take topk).  Vectorized over the batch: the per-row Python
+    loop (np.isin + argsort per row) cost whole seconds per 20k-query eval
+    in the 1M-item quality runs."""
+    b, w = item_ids.shape
+    ok = item_ids >= 0
+    if consumed is not None:
+        m = max((len(c) for c in consumed), default=0)
+        if m > 0:
+            cons = np.full((b, m), -1, dtype=item_ids.dtype)
+            for i, c in enumerate(consumed):
+                if len(c):
+                    cons[i, : len(c)] = c
+            ok &= ~(item_ids[:, :, None] == cons[:, None, :]).any(-1)
+    # stable score-desc order with invalid rows pushed to the back
+    sc = np.where(ok, scores, -np.inf)
+    order = np.argsort(-sc, axis=1, kind="stable")[:, :topk]
+    rows = np.arange(b)[:, None]
+    top_ids = item_ids[rows, order]
+    top_ok = ok[rows, order]
+    return [top_ids[i][top_ok[i]] for i in range(b)]
