@@ -301,8 +301,40 @@ def dr_deep_catalog_bench() -> None:
     )
 
 
+def _preflight(timeout_s: float = 180.0) -> None:
+    """Fail fast with a JSON error line if the device tunnel is dead.
+
+    A dead tunnel (observed r3: /root/.tpu_init.py gone, relay port
+    closed) blocks every device call forever at 0 CPU — without this the
+    driver's bench run would hang instead of recording an error."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe() -> None:
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda v: (v * 2).sum())(jnp.arange(8.0)).block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "tdm_beam_serving_qps", "value": 0, "unit": "error",
+            "vs_baseline": 0,
+            "error": f"device preflight timed out after {timeout_s:.0f}s "
+                     "(TPU tunnel down?)",
+        }))
+        os._exit(2)
+
+
 def main() -> None:
     import jax
+
+    _preflight()
 
     from dismember_tpu.data.ingest import (
         read_csv,
