@@ -51,6 +51,19 @@ class OTMEvalResult:
         )
 
 
+def level_labels(nodes, t_ids, t_labels, dtype):
+    """Per-level BCE labels/weights from the (beam nodes, target set) match
+    (otm LocalOptimizer.scala:96-117): label = clipped sum of target labels
+    whose id equals the node, weight masks the -1 beam pads.  Shared by the
+    single-chip level steps and the sharded-sparse scan (spmd_sparse.py)."""
+    valid = nodes >= 0
+    eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
+    labels = jnp.clip(
+        jnp.einsum("bwj,bj->bw", eq.astype(dtype), t_labels), 0.0, 1.0
+    )
+    return labels, valid
+
+
 def _row_group_parents(parents: jnp.ndarray, values: jnp.ndarray):
     """Group duplicate parent ids within each row, summing their labels.
 
@@ -90,6 +103,7 @@ class OTMTrainer:
         seed: int = 42,
         precision: str = "f32",
         sparse_embed_update: bool | None = None,
+        mesh=None,
     ):
         """``precision="f64"`` reproduces the reference's Double-precision OTM
         (otm/.../optim/LocalOptimizer.scala:18 — NumericDouble throughout):
@@ -104,7 +118,15 @@ class OTMTrainer:
         ~24 full table+moment rewrites per batch at a 10M-item catalog.
         None = auto by the measured cost model
         (:func:`~dismember_tpu.train.sparse_adam.sparse_worthwhile`);
-        unavailable in f64 parity mode (moments are kept f32)."""
+        unavailable in f64 parity mode (moments are kept f32).
+
+        ``mesh``: a ('data','model') jax.sharding.Mesh — the whole-batch
+        dispatch runs SPMD with the batch sharded on 'data' and the node
+        table (plus Adam state) row-sharded on 'model'
+        (train/spmd.make_sharded_otm_train_batch; sparse trainers get the
+        scan-carried sharded lazy-Adam state, train/spmd_sparse.py).  The
+        train batch size is rounded to a 'data'-axis multiple and ragged
+        epoch tails (< one batch of rows) are dropped."""
         if precision not in ("f32", "f64"):
             raise ValueError(f"precision must be f32 or f64, got {precision!r}")
         self._x64 = precision == "f64"
@@ -124,6 +146,16 @@ class OTMTrainer:
         self.label_num = data.label_num or data.train_labels.shape[1]
         self.train_batch_size = max(1, total_train_batch_size // (beam_size * 2))
         self.eval_batch_size = max(1, total_eval_batch_size // (beam_size * 2))
+        self.mesh = mesh
+        if mesh is not None:
+            if self._x64:
+                raise ValueError("mesh mode is f32-only (no f64 SPMD path)")
+            from dismember_tpu.core.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            self.train_batch_size = max(
+                n_data, self.train_batch_size // n_data * n_data
+            )
 
         num_index = data.num_tree_nodes
         key = jax.random.PRNGKey(seed)
@@ -172,6 +204,12 @@ class OTMTrainer:
         self._pseudo = jax.jit(self._pseudo_targets)
         self._level_step = jax.jit(self._level_step_impl, donate_argnums=(0, 1))
         self._train_batch = jax.jit(self._train_batch_impl, donate_argnums=(0, 1))
+        if mesh is not None:
+            from dismember_tpu.train import spmd
+
+            self._train_batch, self.params, self.opt_state = (
+                spmd.make_sharded_otm_train_batch(self, mesh)
+            )
 
     def _ctx(self):
         """Thread-local x64 scope for f64 parity mode; no-op in f32."""
@@ -187,7 +225,15 @@ class OTMTrainer:
 
         Returns (nodes [n_levels, B, 2*beam], scores [...]) with -1/-inf pads.
         """
-        b = seqs.shape[0]
+        return self._beam_trajectory_from(
+            lambda nodes: self.forward(params, nodes, seqs), seqs.shape[0]
+        )
+
+    def _beam_trajectory_from(self, logits_fn, b):
+        """_beam_trajectory with the scorer abstracted to ``logits_fn(nodes
+        [B, W] with -1 pads) -> logits [B, W]`` — the sharded-sparse batch
+        (spmd_sparse.make_sharded_sparse_otm_train_batch) reuses the exact
+        same trajectory math with a distributed row gather inside."""
         width = 2 * self.beam
         s = self.start_level
         start_lo, start_hi = (1 << s) - 1, (1 << (s + 1)) - 1
@@ -197,7 +243,7 @@ class OTMTrainer:
         first = jnp.asarray(np.concatenate([children0, pad]))
         nodes = jnp.broadcast_to(first, (b, width))
         valid = nodes >= 0
-        logits = self.forward(params, jnp.where(valid, nodes, -1), seqs)
+        logits = logits_fn(jnp.where(valid, nodes, -1))
         scores = jnp.where(valid, logits, _NEG_INF)
         from dismember_tpu.retrieval.tree_beam import onehot_select
 
@@ -208,7 +254,7 @@ class OTMTrainer:
             nodes = jnp.stack([2 * top_codes + 1, 2 * top_codes + 2], -1).reshape(
                 b, width
             )
-            logits = self.forward(params, nodes, seqs)
+            logits = logits_fn(nodes)
             scores = logits
             all_nodes.append(nodes)
             all_scores.append(scores)
@@ -220,6 +266,13 @@ class OTMTrainer:
         target_items [B, J] leaf codes (-1 pad).  Returns (ids, labels) each
         [n_levels, B, J]; index i <-> tree level start_level+1+i.
         """
+        return self._pseudo_targets_from(
+            lambda nodes: self.forward(params, nodes, seqs), target_items
+        )
+
+    def _pseudo_targets_from(self, logits_fn, target_items):
+        """_pseudo_targets with the scorer abstracted (see
+        :meth:`_beam_trajectory_from`)."""
         ids = target_items.astype(jnp.int32)
         labels = (ids >= 0).astype(self.dtype)
         out_ids, out_labels = [ids], [labels]
@@ -230,8 +283,8 @@ class OTMTrainer:
             # sibling's current label when the sibling is also a target node
             eq = ids[:, None, :] == jnp.where(valid, sib, -2)[:, :, None]
             sib_label = jnp.einsum("bjk,bk->bj", eq.astype(labels.dtype), labels)
-            pos_pred = self.forward(params, ids, seqs)
-            neg_pred = self.forward(params, sib, seqs)
+            pos_pred = logits_fn(ids)
+            neg_pred = logits_fn(sib)
             contrib = jnp.where(pos_pred >= neg_pred, labels, sib_label)
             contrib = jnp.where(valid, contrib, 0.0)
             parents = jnp.where(valid, (ids - 1) >> 1, -1)
@@ -255,11 +308,7 @@ class OTMTrainer:
 
     def _level_step_impl(self, params, opt_state, nodes, t_ids, t_labels, seqs):
         """One BCE step on (beam nodes, level targets)."""
-        valid = nodes >= 0
-        eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
-        labels = jnp.clip(
-            jnp.einsum("bwj,bj->bw", eq.astype(self.dtype), t_labels), 0.0, 1.0
-        )
+        labels, valid = level_labels(nodes, t_ids, t_labels, self.dtype)
         weights = valid.astype(self.dtype)
 
         def loss_fn(p):
@@ -289,11 +338,7 @@ class OTMTrainer:
         table = params["embedding"]
         rest = {k: v for k, v in params.items() if k != "embedding"}
 
-        valid_nodes = nodes >= 0
-        eq = nodes[:, :, None] == jnp.where(t_ids >= 0, t_ids, -2)[:, None, :]
-        labels = jnp.clip(
-            jnp.einsum("bwj,bj->bw", eq.astype(self.dtype), t_labels), 0.0, 1.0
-        )
+        labels, valid_nodes = level_labels(nodes, t_ids, t_labels, self.dtype)
         weights = valid_nodes.astype(self.dtype)
 
         b, w = nodes.shape
@@ -359,6 +404,10 @@ class OTMTrainer:
         n = len(d.train_seqs)
         rng = np.random.default_rng(self.seed)
         logs: list[dict] = []
+        if self.mesh is not None:
+            from dismember_tpu.core.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
         for epoch in range(1, num_epochs + 1):
             perm = rng.permutation(n)
             epoch_losses: list[list[float]] = []
@@ -366,6 +415,11 @@ class OTMTrainer:
             num_batches = math.ceil(n / self.train_batch_size)
             for bi in range(num_batches):
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
+                if self.mesh is not None and len(idx) % n_data:
+                    # ragged epoch tail: SPMD batches must split over 'data'
+                    idx = idx[: len(idx) // n_data * n_data]
+                    if len(idx) == 0:
+                        continue
                 seqs = jnp.asarray(d.train_seqs[idx], dtype=jnp.int32)
                 targets_np = d.train_labels[idx]
                 if targets_np.shape[1] > self.label_num:

@@ -187,12 +187,17 @@ def make_sharded_otm_train_batch(trainer, mesh):
     inheriting the parameter sharding.
 
     Returns (step_fn, sharded_params, sharded_opt_state) with the same
-    signature as ``trainer._train_batch``.  Dense-Adam path only (the
-    sharded-sparse composition lives in train/spmd_sparse.py for TDM; OTM's
-    scan-carried sparse state would need the same treatment).
+    signature as ``trainer._train_batch``.  Sparse trainers route to
+    :func:`~dismember_tpu.train.spmd_sparse.make_sharded_sparse_otm_train_batch`
+    (scan-carried row-sharded table + lazy-Adam state), so 10M-item OTM
+    trains sharded at sparse speed (117 ms/batch vs dense 555, BASELINE.md).
     """
     if trainer._sparse:
-        raise ValueError("sharded OTM batch supports the dense-Adam path")
+        from dismember_tpu.train.spmd_sparse import (
+            make_sharded_sparse_otm_train_batch,
+        )
+
+        return make_sharded_sparse_otm_train_batch(trainer, mesh)
     import jax.numpy as jnp
 
     old_rows = trainer.params["embedding"].shape[0]

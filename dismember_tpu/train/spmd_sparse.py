@@ -303,3 +303,180 @@ def make_sharded_sparse_train_step(
         return dict(nr, embedding=nt), (nro, ns), loss
 
     return run, params, (rest_opt_state, emb_state)
+
+
+# ---------------------------------------------------------------------------
+# OTM sharded sparse whole-batch dispatch
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_sparse_otm_train_batch(trainer, mesh):
+    """OTM's whole-batch dispatch (pseudo targets + frozen-model beam
+    trajectory + the per-level lax.scan of sequential BCE+Adam steps,
+    otm/.../optim/LocalOptimizer.scala:55-130) with the node table AND its
+    lazy-Adam state row-sharded on 'model', batch sharded on 'data' —
+    the composition of slice-parallel Adam (scalann ParallelAdam.scala:42-76)
+    with OTM's sequential level steps.
+
+    The target/trajectory math is the trainer's own
+    (``_pseudo_targets_from`` / ``_beam_trajectory_from``) with the row
+    gathers distributed (:func:`gather_rows_sharded`); inside the level scan
+    the carried (table shard, moment shard) gets the same shard-local
+    dedup+lazy-Adam treatment as the TDM step.  OTM has no sampling RNG, so
+    on ANY mesh shape the result equals the single-chip sparse scan on the
+    same batch (the all-gather preserves single-device flat row order and
+    the weighted-mean loss is psum-normalized globally) — asserted down to
+    bit-level on (1, N) meshes in tests/test_spmd_otm_sparse.py.
+
+    Returns (step_fn, sharded_params, sharded_opt_state);
+    step_fn(params, opt_state, seqs [B, L], targets [B, J]) has the same
+    signature/returns as ``trainer._train_batch``.  B must divide the 'data'
+    axis; the table is zero-row-padded to :func:`sparse_padded_rows`.
+    """
+    from jax.sharding import NamedSharding
+
+    from dismember_tpu.models import deepfm as _deepfm, din as _din
+
+    if not trainer._sparse:
+        raise ValueError("trainer is not in sparse mode")
+    mod = {"din": _din, "deepfm": _deepfm}[trainer.model_type]
+    n_model = mesh.shape[MODEL_AXIS]
+    e = trainer.embed_size
+    lr = trainer.learning_rate
+    optimizer = trainer.optimizer
+
+    old_rows = trainer.params["embedding"].shape[0]
+    v_rows = sparse_padded_rows(old_rows, mesh, e)
+    table = jnp.pad(
+        trainer.params["embedding"], ((0, v_rows - old_rows), (0, 0))
+    )
+    v_shard = v_rows // n_model
+    rest = {k: v for k, v in trainer.params.items() if k != "embedding"}
+    rest_opt_state = optimizer.init(rest)
+    emb_state = sharded_state_zeros(v_rows, e, n_model)
+    sspec = state_spec(emb_state)
+
+    tshard = NamedSharding(mesh, P(MODEL_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    table = jax.device_put(table, tshard)
+    rest = jax.device_put(rest, jax.tree.map(lambda _: rep, rest))
+    emb_state = jax.device_put(
+        emb_state,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), sspec,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+
+    def step_impl(table_s, emb_st, rest_p, rest_opt, seqs, targets):
+        b, l = seqs.shape
+        pad_mask = (seqs == PADDING_IDX)[:, None, :]
+        dummy = jnp.zeros((1, e), jnp.float32)
+
+        def gather_emb(tbl_s, nodes):
+            flat = nodes.reshape(-1)
+            valid = flat != PADDING_IDX
+            rows = gather_rows_sharded(tbl_s, jnp.where(valid, flat, 0), valid)
+            return rows.reshape(nodes.shape + (e,))
+
+        # frozen-model targets + trajectory (pre-update table, as in the
+        # reference): the trainer's own math with a distributed row gather
+        p_dummy = dict(rest_p, embedding=dummy)
+        ctx0 = mod.ctx_from_seq_emb(p_dummy, gather_emb(table_s, seqs), pad_mask)
+
+        def frozen_logits(nodes):
+            return mod.apply_from_emb(p_dummy, gather_emb(table_s, nodes), ctx0)
+
+        if trainer.target_mode == "pseudo":
+            t_ids, t_labels = trainer._pseudo_targets_from(frozen_logits, targets)
+        else:
+            t_ids, t_labels = trainer._normal_targets(targets)
+        nodes, _scores = trainer._beam_trajectory_from(frozen_logits, b)
+
+        from dismember_tpu.train.otm import level_labels
+
+        def level_step(carry, x):
+            tbl, est, rp, ro = carry
+            nodes_l, tid_l, tlab_l = x
+            labels, valid_nodes = level_labels(
+                nodes_l, tid_l, tlab_l, jnp.float32
+            )
+            weights = valid_nodes.astype(jnp.float32)
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum(weights), DATA_AXIS), 1.0
+            )
+            w = nodes_l.shape[1]
+            flat = jnp.concatenate(
+                [
+                    jnp.where(valid_nodes, nodes_l, PADDING_IDX).reshape(-1),
+                    seqs.reshape(-1),
+                ]
+            )
+            valid = flat != PADDING_IDX
+            rows = gather_rows_sharded(tbl, jnp.where(valid, flat, 0), valid)
+
+            def loss_fn(rows_in, rest_in):
+                p = dict(rest_in, embedding=dummy)
+                item_e = rows_in[: b * w].reshape(b, w, -1)
+                seq_e = rows_in[b * w :].reshape(b, l, -1)
+                ctx = mod.ctx_from_seq_emb(p, seq_e, pad_mask)
+                logits = mod.apply_from_emb(p, item_e, ctx)
+                x_ = logits
+                per = (
+                    jnp.maximum(x_, 0.0)
+                    - x_ * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(x_)))
+                )
+                return jnp.sum(per * weights) / denom
+
+            loss_local, (g_rows, g_rest) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(rows, rp)
+            loss = jax.lax.psum(loss_local, DATA_AXIS)
+            g_rest = jax.tree.map(lambda g: jax.lax.psum(g, DATA_AXIS), g_rest)
+            updates, new_ro = optimizer.update(g_rest, ro, rp)
+            new_rp = optax.apply_updates(rp, updates)
+            g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+            nc = b * w
+            flat_all, g_all = allgather_rows(
+                [(flat[:nc], g_rows[:nc]), (flat[nc:], g_rows[nc:])]
+            )
+            local = localize_codes(flat_all, v_shard)
+            new_tbl, new_est = sparse_adam.apply_rows(tbl, est, local, g_all, lr)
+            return (new_tbl, new_est, new_rp, new_ro), loss
+
+        (table_s, emb_st, rest_p, rest_opt), losses = jax.lax.scan(
+            level_step, (table_s, emb_st, rest_p, rest_opt),
+            (nodes, t_ids, t_labels),
+        )
+        return table_s, emb_st, rest_p, rest_opt, losses
+
+    bspec = P(DATA_AXIS, None)
+    shmapped = jax.shard_map(
+        step_impl,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None), sspec,
+            jax.tree.map(lambda _: P(), rest),
+            jax.tree.map(lambda _: P(), rest_opt_state),
+            bspec, bspec,
+        ),
+        out_specs=(
+            P(MODEL_AXIS, None), sspec,
+            jax.tree.map(lambda _: P(), rest),
+            jax.tree.map(lambda _: P(), rest_opt_state),
+            P(None),
+        ),
+        check_vma=False,
+    )
+    jitted = jax.jit(shmapped, donate_argnums=(0, 1, 2, 3))
+
+    def run(p, opt_state, seqs, targets):
+        rest_opt, emb_st = opt_state
+        rest_p = {k: v for k, v in p.items() if k != "embedding"}
+        nt, ns, nr, nro, losses = jitted(
+            p["embedding"], emb_st, rest_p, rest_opt, seqs, targets
+        )
+        return dict(nr, embedding=nt), (nro, ns), losses
+
+    return run, dict(rest, embedding=table), (rest_opt_state, emb_state)

@@ -90,13 +90,34 @@ def main() -> None:
 
     durs = profile_ops(thunk, iters)
     total = sum(v for k, v in durs.items() if "jit_" in k) / iters
-    scatter = sum(
-        v for k, v in durs.items() if "scatter" in k.lower()
-    ) / iters
     print(f"whole-batch device time: {total:.1f} ms")
-    print(f"scatter ops total:       {scatter:.2f} ms ({100*scatter/total:.1f}%)")
-    for name, ms in sorted(durs.items(), key=lambda kv: -kv[1])[:15]:
+
+    def group(pred, label):
+        ms = sum(v for k, v in durs.items() if pred(k.lower())) / iters
+        print(f"{label:<28s} {ms:8.2f} ms ({100 * ms / total:5.1f}%)")
+        return ms
+
+    group(lambda k: "scatter" in k, "scatter ops")
+    group(lambda k: "gather" in k, "gather ops")
+    group(lambda k: "dynamic-update-slice" in k, "dynamic-update-slice ops")
+    group(lambda k: "copy" in k, "copy ops")
+
+    import json
+
+    with open("data/r4/otm_scatter_ops.json", "w") as f:
+        json.dump(
+            {k: v / iters for k, v in sorted(durs.items(), key=lambda kv: -kv[1])},
+            f, indent=1,
+        )
+    print("full op dump -> data/r4/otm_scatter_ops.json")
+    shown = 0
+    for name, ms in sorted(durs.items(), key=lambda kv: -kv[1]):
+        if "copy-start" in name or "copy-done" in name:
+            continue
         print(f"  {ms/iters:8.3f} ms  {name[:100]}")
+        shown += 1
+        if shown >= 25:
+            break
 
 
 if __name__ == "__main__":
