@@ -60,7 +60,16 @@ class GenericTreeLearner:
     Subclasses/factories supply: ``items`` (ids), ``item_old_codes`` (current
     leaf code per item, for the stay-preference), ``rows_codes`` [R, L]
     sequence codes per training row, ``row_item_pos`` [R] item position per
-    row."""
+    row.
+
+    ``mesh``: a ('data','model') jax.sharding.Mesh — the scoring pass (the
+    whole cost of the sweep, TreeLearning.scala:152-174) runs SPMD with the
+    chain-candidate score rows sharded on 'data' and the node-embedding
+    table row-sharded on 'model' (spmd.make_sharded_forward); ragged tail
+    batches are -1-row-padded to a 'data'-axis multiple and the pad rows
+    dropped on drain.  The FIFO dispatch pipeline is unchanged, so the
+    accumulated weights are bit-identical to the single-chip sweep
+    (tests/test_jtm_mesh.py)."""
 
     params: dict
     forward: Callable
@@ -71,9 +80,21 @@ class GenericTreeLearner:
     row_item_pos: np.ndarray  # [R] item position per row
     gap: int = 2
     score_batch_rows: int = 8192
+    mesh: object = None
 
     def __post_init__(self):
-        self._score_fn = jax.jit(self._score_impl)
+        if self.mesh is not None:
+            from dismember_tpu.core.mesh import DATA_AXIS
+            from dismember_tpu.train import spmd
+
+            self._n_data = self.mesh.shape[DATA_AXIS]
+            self._score_fn, self._score_params = spmd.make_sharded_forward(
+                self.forward, self.mesh, self.params
+            )
+        else:
+            self._n_data = 1
+            self._score_fn = jax.jit(self._score_impl)
+            self._score_params = self.params
 
     # ------------------------------------------------------------------
     def _seq_codes_at_level(self, level: int) -> np.ndarray:
@@ -92,6 +113,24 @@ class GenericTreeLearner:
     def _score_impl(self, params, chain_codes, seqs):
         """chain_codes [R, C], seqs [R, L] -> logits [R, C]."""
         return self.forward(params, chain_codes, seqs)
+
+    def _dispatch_scores(self, chain_np: np.ndarray, seqs_np: np.ndarray):
+        """One (possibly mesh-sharded) score dispatch; returns the device
+        array — callers slice [:len(chain_np)] after fetching (rows are
+        -1-padded to a 'data'-axis multiple under a mesh)."""
+        pad = (-len(chain_np)) % self._n_data
+        if pad:
+            chain_np = np.concatenate(
+                [chain_np, np.full((pad, chain_np.shape[1]), -1, chain_np.dtype)]
+            )
+            seqs_np = np.concatenate(
+                [seqs_np, np.full((pad, seqs_np.shape[1]), -1, seqs_np.dtype)]
+            )
+        return self._score_fn(
+            self._score_params,
+            jnp.asarray(chain_np, jnp.int32),
+            jnp.asarray(seqs_np, jnp.int32),
+        )
 
     def compute_weights(self, proj: np.ndarray, old_level: int, level: int) -> np.ndarray:
         """Weight matrix [num_items, 2^d]: candidate j of item i is descendant
@@ -130,23 +169,19 @@ class GenericTreeLearner:
             inflight: deque = deque()
             for s in range(0, r_total, self.score_batch_rows):
                 e = min(s + self.score_batch_rows, r_total)
-                out = self._score_fn(
-                    self.params,
-                    jnp.asarray(row_chain[s:e], jnp.int32),
-                    jnp.asarray(seq_codes[s:e], jnp.int32),
-                )
+                out = self._dispatch_scores(row_chain[s:e], seq_codes[s:e])
                 inflight.append((s, e, out))
                 if len(inflight) >= 8:
                     s0, e0, o0 = inflight.popleft()
                     np.add.at(
                         weights, self.row_item_pos[s0:e0],
-                        np.asarray(o0, dtype=np.float64),
+                        np.asarray(o0, dtype=np.float64)[: e0 - s0],
                     )
             while inflight:
                 s0, e0, o0 = inflight.popleft()
                 np.add.at(
                     weights, self.row_item_pos[s0:e0],
-                    np.asarray(o0, dtype=np.float64),
+                    np.asarray(o0, dtype=np.float64)[: e0 - s0],
                 )
 
         # items that never appear as a target
@@ -282,6 +317,7 @@ class TreeLearner(GenericTreeLearner):
         hierarchical: bool = False,
         min_level: int = 0,
         score_batch_rows: int = 8192,
+        mesh: object = None,
     ):
         self.tree = tree
         self.hierarchical = hierarchical
@@ -305,6 +341,7 @@ class TreeLearner(GenericTreeLearner):
             row_item_pos=pos[keep],
             gap=gap,
             score_batch_rows=score_batch_rows,
+            mesh=mesh,
         )
 
     def _seq_codes_at_level(self, level: int) -> np.ndarray:
@@ -327,6 +364,7 @@ def otm_tree_learner(
     train_seqs_codes: np.ndarray,  # [N, L] mapped codes (-1 pad)
     train_labels_codes: np.ndarray,  # [N, label_num] mapped codes (-1 pad)
     gap: int = 2,
+    mesh: object = None,
 ) -> GenericTreeLearner:
     """OTM tree construction (otm/.../tree/TreeConstruction.scala): the same
     assignment algorithm over the implicit complete tree; each (sequence,
@@ -359,6 +397,7 @@ def otm_tree_learner(
         rows_codes=np.asarray(rows, np.int64),
         row_item_pos=np.asarray(row_pos, np.int64),
         gap=gap,
+        mesh=mesh,
     )
 
 
