@@ -103,6 +103,7 @@ class OTMTrainer:
         seed: int = 42,
         precision: str = "f32",
         sparse_embed_update: bool | None = None,
+        sparse_format: str = "auto",
         mesh=None,
     ):
         """``precision="f64"`` reproduces the reference's Double-precision OTM
@@ -119,6 +120,19 @@ class OTMTrainer:
         None = auto by the measured cost model
         (:func:`~dismember_tpu.train.sparse_adam.sparse_worthwhile`);
         unavailable in f64 parity mode (moments are kept f32).
+
+        ``sparse_format``: packed-state format of the sparse scan.  "pmv"
+        packs params+moments into one 128-lane row so a level's table
+        update is one row gather + one Pallas DMA write with ZERO XLA
+        table scatters — the mv format's per-level scatter measured
+        26.0 ms/batch = 40% of the 64.6 ms whole-batch at 10M items
+        (scripts/profile_otm_scatter.py, data/r4/otm_scatter_ops.json);
+        OTM pays it n_levels times per batch, making it the worst scatter
+        case of the four algorithms.  In pmv mode ``params["embedding"]``
+        becomes a MIRROR re-materialized at train/eval boundaries (same
+        contract as TDMTrainer/DRTrainer).  "mv" keeps the table
+        addressable; "auto" = pmv when the width packs (3E <= 128) and the
+        trainer is single-chip (meshes use the sharded mv state).
 
         ``mesh``: a ('data','model') jax.sharding.Mesh — the whole-batch
         dispatch runs SPMD with the batch sharded on 'data' and the node
@@ -184,6 +198,28 @@ class OTMTrainer:
             self._sparse = not self._x64 and sparse_worthwhile(
                 num_index, touched, embed_dim=embed_size
             )
+        self._pmv = False
+        self._mirrors_stale = False
+        if sparse_format not in ("auto", "mv", "pmv"):
+            raise ValueError(f"unknown sparse_format {sparse_format!r}")
+        if self._sparse:
+            from dismember_tpu.train import sparse_adam
+
+            if sparse_format == "auto":
+                self._pmv = (
+                    sparse_adam.pmv_slots(embed_size) > 0 and mesh is None
+                )
+            else:
+                self._pmv = sparse_format == "pmv"
+                if self._pmv and sparse_adam.pmv_slots(embed_size) == 0:
+                    raise ValueError(
+                        f"pmv needs a packable width (3*E <= 128; E="
+                        f"{embed_size})"
+                    )
+                if self._pmv and mesh is not None:
+                    raise ValueError(
+                        "pmv is single-chip; meshes use the sharded mv state"
+                    )
         with self._ctx():
             self.params = jax.tree.map(lambda x: x.astype(self.dtype), params)
             self.optimizer = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
@@ -193,17 +229,29 @@ class OTMTrainer:
                 rest = {
                     k: v for k, v in self.params.items() if k != "embedding"
                 }
-                self.opt_state = (
-                    self.optimizer.init(rest),
-                    sparse_adam.init_state(self.params["embedding"]),
-                )
+                if self._pmv:
+                    self.opt_state = (
+                        self.optimizer.init(rest),
+                        sparse_adam.pmv_init(self.params["embedding"]),
+                    )
+                else:
+                    self.opt_state = (
+                        self.optimizer.init(rest),
+                        sparse_adam.init_state(self.params["embedding"]),
+                    )
             else:
                 self.opt_state = self.optimizer.init(self.params)
 
         self._beam_traj = jax.jit(self._beam_trajectory)
         self._pseudo = jax.jit(self._pseudo_targets)
         self._level_step = jax.jit(self._level_step_impl, donate_argnums=(0, 1))
-        self._train_batch = jax.jit(self._train_batch_impl, donate_argnums=(0, 1))
+        if self._pmv:
+            self._train_batch = self._make_pmv_train_batch()
+            self._record_mirror_id()
+        else:
+            self._train_batch = jax.jit(
+                self._train_batch_impl, donate_argnums=(0, 1)
+            )
         if mesh is not None:
             from dismember_tpu.train import spmd
 
@@ -399,11 +447,173 @@ class OTMTrainer:
         return params, opt_state, losses
 
     # ------------------------------------------------------------------
+    def _make_pmv_train_batch(self):
+        """Whole OTM batch on the packed p|m|v table: per level, one row
+        gather + one Pallas row write — ZERO XLA table scatters.  The mv
+        format's per-level scatter measured 26.0 ms/batch = 40% of the
+        64.6 ms 10M-item whole-batch (scripts/profile_otm_scatter.py), paid
+        n_levels times per batch; pmv removes all of them.  The frozen
+        forwards (pseudo targets + beam trajectory) gather param lanes from
+        the same packed state, so the scan needs no [V, E] table at all.
+
+        ``params["embedding"]`` becomes a MIRROR re-materialized by
+        ``_sync_mirrors`` at train/eval boundaries; ``_adopt_mirrors``
+        pushes external assignments back into the packed state — the same
+        contract as TDMTrainer/DRTrainer."""
+        import functools
+
+        from dismember_tpu.constants import PADDING_IDX
+        from dismember_tpu.models import deepfm as _deepfm, din as _din
+        from dismember_tpu.train import sparse_adam
+
+        mod = {"din": _din, "deepfm": _deepfm}[self.model_type]
+        e = self.embed_size
+        lr = self.learning_rate
+        optimizer = self.optimizer
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(rest, opt_state, seqs, targets):
+            rest_opt, emb_pmv = opt_state
+            b, l = seqs.shape
+            pad_mask = (seqs == PADDING_IDX)[:, None, :]
+            dummy = jnp.zeros((1, e), jnp.float32)
+
+            def gather(pmv, nodes):
+                flat = nodes.reshape(-1)
+                valid = flat != PADDING_IDX
+                rows = sparse_adam.pmv_gather(
+                    pmv, jnp.where(valid, flat, 0), e
+                )
+                rows = rows * valid[:, None].astype(rows.dtype)
+                return rows.reshape(nodes.shape + (e,))
+
+            p_dummy = dict(rest, embedding=dummy)
+            pmv0 = emb_pmv["pmv"]
+            ctx0 = mod.ctx_from_seq_emb(p_dummy, gather(pmv0, seqs), pad_mask)
+
+            def frozen_logits(nodes):
+                return mod.apply_from_emb(p_dummy, gather(pmv0, nodes), ctx0)
+
+            if self.target_mode == "pseudo":
+                t_ids, t_labels = self._pseudo_targets_from(
+                    frozen_logits, targets
+                )
+            else:
+                t_ids, t_labels = self._normal_targets(targets)
+            nodes, _scores = self._beam_trajectory_from(frozen_logits, b)
+
+            def level_step(carry, x):
+                est, rp, ro = carry
+                nodes_l, tid_l, tlab_l = x
+                labels, valid_nodes = level_labels(
+                    nodes_l, tid_l, tlab_l, jnp.float32
+                )
+                weights = valid_nodes.astype(jnp.float32)
+                w = nodes_l.shape[1]
+                flat = jnp.concatenate(
+                    [
+                        jnp.where(
+                            valid_nodes, nodes_l, PADDING_IDX
+                        ).reshape(-1),
+                        seqs.reshape(-1),
+                    ]
+                )
+                valid = flat != PADDING_IDX
+                rows = sparse_adam.pmv_gather(
+                    est["pmv"], jnp.where(valid, flat, 0), e
+                )
+                rows = rows * valid[:, None].astype(rows.dtype)
+
+                def loss_fn(rows_in, rest_in):
+                    p = dict(rest_in, embedding=dummy)
+                    item_e = rows_in[: b * w].reshape(b, w, -1)
+                    seq_e = rows_in[b * w :].reshape(b, l, -1)
+                    ctx = mod.ctx_from_seq_emb(p, seq_e, pad_mask)
+                    logits = mod.apply_from_emb(p, item_e, ctx)
+                    return bce_with_logits(logits, labels, weights)
+
+                loss, (g_rows, g_rest) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1)
+                )(rows, rp)
+                updates, new_ro = optimizer.update(g_rest, ro, rp)
+                new_rp = optax.apply_updates(rp, updates)
+                g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
+                new_est = sparse_adam.pmv_apply_rows(est, flat, g_rows, lr)
+                return (new_est, new_rp, new_ro), loss
+
+            (emb_pmv, rest, rest_opt), losses = jax.lax.scan(
+                level_step, (emb_pmv, rest, rest_opt),
+                (nodes, t_ids, t_labels),
+            )
+            return rest, (rest_opt, emb_pmv), losses
+
+        def run(params, opt_state, seqs, targets):
+            rest = {k: v for k, v in params.items() if k != "embedding"}
+            new_rest, new_opt, losses = step(rest, opt_state, seqs, targets)
+            self._mirrors_stale = True
+            return (
+                dict(new_rest, embedding=params["embedding"]),
+                new_opt,
+                losses,
+            )
+
+        return run
+
+    # -- pmv mirror management (same contract as TDMTrainer/DRTrainer) --
+    def _record_mirror_id(self) -> None:
+        self._mirror_id = id(self.params["embedding"])
+
+    def _sync_mirrors(self) -> None:
+        """Re-materialize the [V, E] embedding mirror from the packed p|m|v
+        state (no-op outside pmv mode or when already in sync).  Replaces
+        ``self.params`` with a fresh dict so identity-keyed caches
+        (``_packed_search``) rebuild."""
+        if not self._pmv or not self._mirrors_stale:
+            return
+        from dismember_tpu.train import sparse_adam
+
+        v_rows, e = self.params["embedding"].shape
+        self.params = dict(
+            self.params,
+            embedding=sparse_adam.pmv_unpack(self.opt_state[1], v_rows, e),
+        )
+        self._mirrors_stale = False
+        self._record_mirror_id()
+
+    def _adopt_mirrors(self) -> None:
+        """Push an externally-assigned ``params["embedding"]`` (checkpoint
+        load etc., detected by array identity) into the packed state's p
+        lanes, keeping moments.  Called at train() entry."""
+        if not self._pmv:
+            return
+        from dismember_tpu.train import sparse_adam
+
+        if id(self.params["embedding"]) == self._mirror_id:
+            return
+        if self._mirrors_stale:
+            logger.warning(
+                "embedding mirror was externally replaced while the packed "
+                "p|m|v state was newer (raw-step driving without "
+                "_sync_mirrors); adopting the external values into the "
+                "packed state (moments kept)."
+            )
+        rest_opt, emb_pmv = self.opt_state
+        self.opt_state = (
+            rest_opt,
+            sparse_adam.pmv_refresh(
+                emb_pmv, self.params["embedding"].astype(jnp.float32)
+            ),
+        )
+        self._mirrors_stale = False
+        self._record_mirror_id()
+
+    # ------------------------------------------------------------------
     def train(self, num_epochs: int, progress_interval: int = 0) -> list[dict]:
         d = self.data
         n = len(d.train_seqs)
         rng = np.random.default_rng(self.seed)
         logs: list[dict] = []
+        self._adopt_mirrors()
         if self.mesh is not None:
             from dismember_tpu.core.mesh import DATA_AXIS
 
@@ -528,6 +738,7 @@ class OTMTrainer:
 
     def batch_beam_search(self, seqs: np.ndarray):
         """Final-level candidates [B, 2*beam] (codes) + scores."""
+        self._sync_mirrors()
         fn = self._packed_search()
         if fn is not None:
             codes, scores = fn(self.params, jnp.asarray(seqs, jnp.int32))

@@ -157,6 +157,82 @@ def make_sharded_packed_beam_fn(
     return lambda params, seq_codes: run(params, seq_codes, table, prefix)
 
 
+def is_deep_catalog(tree, beam: int) -> bool:
+    """The packed-table serving threshold (same rule as
+    ``serving.TDMServing._use_packed``): trees of ``max_level >= 8`` with at
+    least one scored level below the beam's start level must serve through
+    the packed pair-table path — at depth the replicated ``node_meta`` of
+    :func:`make_sharded_beam_fn` is exactly the narrow-table relayout
+    pathology the pair table was built to kill (CLAUDE.md: a [2M, 2] f32
+    copy costs ~3.6ms/dispatch)."""
+    from dismember_tpu.retrieval.tree_beam import make_config
+
+    cfg = make_config(tree, beam)
+    return tree.max_level >= 8 and cfg.max_level - cfg.start_level >= 1
+
+
+def make_sharded_tree_serving_fn(
+    model_type: str,
+    params,
+    tree,
+    beam: int,
+    mesh,
+    max_contract_rows: int = 8192,
+):
+    """Mesh serving for TDM/OTM-style tree beams with the deep-catalog
+    routing applied (Recommender.scala:40-107 semantics): catalogs above
+    :func:`is_deep_catalog`'s threshold go through
+    :func:`make_sharded_packed_beam_fn` (row-sharded 128-lane pair table,
+    metadata folded into the rows); small catalogs keep the classic
+    :func:`make_sharded_beam_fn` (replicated [V, 2] node_meta — fine when V
+    is tiny, pathological at depth).  Returns (beam_fn, route) where route
+    is "packed" or "classic" and beam_fn(seq_codes) -> (ids, scores).
+    """
+    from dismember_tpu.train.tdm import (
+        MATMUL_FIRST_SCORERS,
+        packed_fns,
+        serving_fns,
+    )
+
+    if is_deep_catalog(tree, beam):
+        from dismember_tpu.retrieval.packed_beam import (
+            PackedTree,
+            build_pair_table,
+        )
+        from dismember_tpu.retrieval.tree_beam import make_config
+
+        pre, app_emb = packed_fns(model_type)
+        table = build_pair_table(
+            params["embedding"], tree.node_exists, tree.node_id,
+            tree.total_codes,
+        )
+        packed = PackedTree(
+            pair_table=table,
+            embed_size=int(params["embedding"].shape[1]),
+            cfg=make_config(tree, beam),
+        )
+        fn = make_sharded_packed_beam_fn(
+            packed, mesh, pre, app_emb,
+            max_contract_rows=(
+                max_contract_rows
+                if model_type in MATMUL_FIRST_SCORERS
+                else 0
+            ),
+        )
+        rep = NamedSharding(mesh, P())
+        rep_params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+        return (lambda seq_codes: fn(rep_params, seq_codes)), "packed"
+
+    pre, app = serving_fns(model_type)
+    from dismember_tpu.models import deepfm as _deepfm, din as _din
+
+    fwd = {"din": _din, "deepfm": _deepfm}[model_type].forward
+    fn, sh_params = make_sharded_beam_fn(
+        fwd, tree, beam, mesh, params, precompute=pre, apply=app
+    )
+    return (lambda seq_codes: fn(sh_params, seq_codes)), "classic"
+
+
 def make_sharded_forward(forward, mesh, params):
     """Batched scoring over the mesh — JTM's aggregateWeights pass (SURVEY
     P5, jtm/.../optim/TreeLearning.scala:152-174): score rows sharded on

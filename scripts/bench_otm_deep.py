@@ -43,7 +43,10 @@ def synthetic_otm_data(n_items: int, n_rows: int, seq_len: int, label_num: int):
     )
 
 
-def measure(data, sparse: bool, steps: int, batch_rows: int) -> dict:
+def measure(
+    data, sparse: bool, steps: int, batch_rows: int,
+    sparse_format: str = "auto",
+) -> dict:
     import jax.numpy as jnp
 
     from devtime import device_time_ms
@@ -52,7 +55,7 @@ def measure(data, sparse: bool, steps: int, batch_rows: int) -> dict:
     tr = OTMTrainer(
         data, embed_size=16, total_train_batch_size=batch_rows * 40,
         beam_size=20, target_mode="pseudo", seed=0,
-        sparse_embed_update=sparse,
+        sparse_embed_update=sparse, sparse_format=sparse_format,
     )
     seqs = jnp.asarray(data.train_seqs[: tr.train_batch_size], jnp.int32)
     targets = jnp.asarray(data.train_labels[: tr.train_batch_size], jnp.int32)
@@ -66,7 +69,9 @@ def measure(data, sparse: bool, steps: int, batch_rows: int) -> dict:
     ms = device_time_ms(one_batch, iters=steps)
     losses = np.asarray(one_batch())
     return {
-        "mode": "sparse" if sparse else "dense",
+        "mode": (
+            ("sparse-pmv" if tr._pmv else "sparse-mv") if sparse else "dense"
+        ),
         "device_ms_per_batch": round(ms, 2),
         "rows_per_s": round(tr.train_batch_size / (ms / 1e3)),
         "n_levels": tr.n_levels,
@@ -81,13 +86,24 @@ def main() -> None:
     ap.add_argument("--items", type=int, default=1_000_000)
     ap.add_argument("--rows", type=int, default=256, help="samples per batch")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--mode", choices=["sparse", "dense", "both"],
+    ap.add_argument("--mode", choices=["sparse", "dense", "both", "formats"],
                     default="both")
     args = ap.parse_args()
 
     data = synthetic_otm_data(args.items, 4 * args.rows, 10, 5)
     print(json.dumps({"items": args.items, "n_rows": len(data.train_seqs),
                       "tree_nodes": data.num_tree_nodes}), flush=True)
+    if args.mode == "formats":
+        # mv vs pmv: the r2 #9 decision measurement
+        for fmt in ("mv", "pmv"):
+            print(
+                json.dumps(
+                    measure(data, True, args.steps, args.rows,
+                            sparse_format=fmt)
+                ),
+                flush=True,
+            )
+        return
     if args.mode in ("sparse", "both"):
         print(json.dumps(measure(data, True, args.steps, args.rows)),
               flush=True)

@@ -249,6 +249,9 @@ def test_sparse_level_steps_match_dense(tiny_otm):
     # both modes actually learn on the repeated batch
     assert float(np.asarray(loss_d)[-1]) < float(first_d[-1])
     assert float(np.asarray(loss_s)[-1]) < float(first_s[-1])
+    # auto mode now picks the packed p|m|v format: params["embedding"] is a
+    # mirror that raw-step driving leaves stale — sync before comparing
+    sparse._sync_mirrors()
     # drift bound: a row misses at most (n_levels-1) momentum nudges per
     # batch, each |step| <= lr, so 3 batches stay well under 3*n_levels*lr
     # (row Adam math itself is exactness-tested in TDM's
@@ -270,4 +273,96 @@ def test_sparse_auto_and_f64_guard(tiny_otm):
         OTMTrainer(
             tiny_otm, embed_size=8, beam_size=4, precision="f64",
             sparse_embed_update=True,
+        )
+
+
+def test_pmv_matches_mv(tiny_otm):
+    """The packed p|m|v scan (sparse_format="pmv") reproduces the mv scan:
+    same gathered rows (pmv_gather is int32-contraction exact), same
+    per-touched-row Adam math — only the storage layout differs (zero XLA
+    table scatters, one Pallas row write per level).  Justified by
+    measurement: the mv per-level scatter is 26.0 ms/batch = 40% of the
+    10M-item whole-batch (scripts/profile_otm_scatter.py).
+
+    First batch: tight parity (the two formats' compiled programs agree to
+    ~1 ulp) incl. serving ids.  Later batches: the 1-ulp storage-format
+    rounding can flip a near-tie in the frozen beam/pseudo-target decisions
+    (observed at batch 2 on this data: 8 rows, 3e-6), so only closeness is
+    asserted — same convention as test_sparse_level_steps_match_dense."""
+    d = tiny_otm
+    kwargs = dict(
+        embed_size=8, learning_rate=3e-3, total_train_batch_size=256,
+        beam_size=4, target_mode="pseudo", seed=11, sparse_embed_update=True,
+    )
+    mv = OTMTrainer(d, sparse_format="mv", **kwargs)
+    pm = OTMTrainer(d, sparse_format="pmv", **kwargs)
+    assert pm._pmv and not mv._pmv
+    seqs = jnp.asarray(d.train_seqs[: mv.train_batch_size], jnp.int32)
+    targets = jnp.asarray(d.train_labels[: mv.train_batch_size], jnp.int32)
+    for step in range(3):
+        mv.params, mv.opt_state, l_mv = mv._train_batch(
+            mv.params, mv.opt_state, seqs, targets
+        )
+        pm.params, pm.opt_state, l_pm = pm._train_batch(
+            pm.params, pm.opt_state, seqs, targets
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_pm), np.asarray(l_mv), rtol=1e-5,
+            err_msg=f"level losses diverged at batch {step}",
+        )
+        if step == 0:
+            assert pm._mirrors_stale
+            pm._sync_mirrors()
+            assert not pm._mirrors_stale
+            np.testing.assert_allclose(
+                np.asarray(pm.params["embedding"]),
+                np.asarray(mv.params["embedding"]), rtol=1e-6, atol=1e-7,
+            )
+            # serving re-syncs lazily; matches the mv trainer's beam output
+            pm._mirrors_stale = True  # simulate raw-step driving
+            ids_pm, _ = pm.batch_beam_search(d.eval_seqs[:8])
+            ids_mv, _ = mv.batch_beam_search(d.eval_seqs[:8])
+            np.testing.assert_array_equal(ids_pm, ids_mv)
+    pm._sync_mirrors()
+    np.testing.assert_allclose(
+        np.asarray(pm.params["embedding"]),
+        np.asarray(mv.params["embedding"]), atol=1e-4,
+    )
+    for k in ("att_linear", "mlp1", "mlp2"):
+        for kk, val in mv.params[k].items():
+            np.testing.assert_allclose(
+                np.asarray(pm.params[k][kk]), np.asarray(val),
+                rtol=1e-4, atol=1e-6, err_msg=f"{k}/{kk}",
+            )
+
+
+def test_pmv_train_eval_end_to_end(tiny_otm):
+    """train() + evaluate() through the pmv path (mirror sync at epoch
+    boundaries), plus _adopt_mirrors on an external embedding assignment."""
+    from dismember_tpu.train import sparse_adam
+
+    tr = OTMTrainer(
+        tiny_otm, embed_size=8, beam_size=4, total_train_batch_size=2048,
+        sparse_embed_update=True, sparse_format="pmv", seed=7,
+    )
+    logs = tr.train(num_epochs=1)
+    assert all(np.isfinite(x) for x in logs[0]["level_losses"])
+    assert np.isfinite(logs[0]["recall"])
+    # external load: new embedding pushed into the packed state's p lanes
+    new_table = jnp.zeros_like(tr.params["embedding"]) + 0.25
+    tr.params = dict(tr.params, embedding=new_table)
+    tr._adopt_mirrors()
+    got = sparse_adam.pmv_unpack(
+        tr.opt_state[1], new_table.shape[0], tr.embed_size
+    )
+    np.testing.assert_allclose(np.asarray(got), 0.25)
+
+
+def test_pmv_guards(tiny_otm):
+    with pytest.raises(ValueError, match="unknown sparse_format"):
+        OTMTrainer(tiny_otm, sparse_format="xyz")
+    with pytest.raises(ValueError, match="packable"):
+        OTMTrainer(
+            tiny_otm, embed_size=48, beam_size=4,
+            sparse_embed_update=True, sparse_format="pmv",
         )
