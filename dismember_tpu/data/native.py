@@ -94,8 +94,49 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        lib.dm_dr_greedy_select.restype = None
+        lib.dm_dr_greedy_select.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),   # cand_idx [n_rows, n_cand]
+            ctypes.POINTER(ctypes.c_double),  # cand_scores
+            ctypes.POINTER(ctypes.c_int64),   # occ_rows
+            ctypes.POINTER(ctypes.c_int64),   # path_size (in/out)
+            ctypes.POINTER(ctypes.c_int64),   # sel_idx (in/out)
+            ctypes.c_double, ctypes.c_double,
+        ]
         _lib = lib
         return _lib
+
+
+def dr_greedy_select_native(
+    cand_idx, cand_scores, occ_rows, path_size, sel_idx,
+    num_iteration: int, penalty_factor: float, q: float,
+) -> bool:
+    """Native DR coordinate-descent greedy J-path selection
+    (native/host_ops.cc dm_dr_greedy_select): exact port of the numpy loop
+    in train/dr_coordinate.coordinate_descent — same libm calls, argmax and
+    NaN semantics, so selections are bit-identical on the same host.
+    Mutates ``path_size``/``sel_idx`` in place; returns False (caller falls
+    back to the Python loop) when the library is unavailable or the
+    candidate width exceeds the native buffer."""
+    lib = get_lib()
+    n_rows, n_cand = cand_idx.shape
+    if lib is None or n_cand > 64:
+        return False
+    assert cand_idx.dtype == np.int64 and cand_idx.flags.c_contiguous
+    assert cand_scores.dtype == np.float64 and cand_scores.flags.c_contiguous
+    assert occ_rows.dtype == np.int64 and occ_rows.flags.c_contiguous
+    assert path_size.dtype == np.int64 and path_size.flags.c_contiguous
+    assert sel_idx.dtype == np.int64 and sel_idx.flags.c_contiguous
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    lib.dm_dr_greedy_select(
+        n_rows, sel_idx.shape[1], n_cand, num_iteration,
+        p(cand_idx, ctypes.c_int64), p(cand_scores, ctypes.c_double),
+        p(occ_rows, ctypes.c_int64), p(path_size, ctypes.c_int64),
+        p(sel_idx, ctypes.c_int64),
+        float(penalty_factor), float(q),
+    )
+    return True
 
 
 def parse_csv_native(path: str):

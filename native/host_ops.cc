@@ -10,6 +10,8 @@
 // Build: make -C native   (produces libdismember_host.so)
 
 #include <algorithm>
+#include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -555,4 +557,92 @@ extern "C" void dm_free_tree(TreeDecodeResult* res) {
   delete[] res->pair_ids;
   delete[] res->pair_codes;
   delete res;
+}
+
+// ---------------------------------------------------------------------------
+// DR coordinate-descent greedy path selection (train/dr_coordinate.py
+// lines "greedy selection"; reference semantics: deep-retrieval/.../optim/
+// CoordinateDescent.scala:50-83 — item-sequential streaming greedy with the
+// incremental path-size penalty).
+//
+// Exact port of the Python/numpy loop: same float64 libm calls (log1p, pow),
+// same processing order (row-ascending == item-ascending, items_u is
+// sorted), same argmax semantics (numpy returns the FIRST NaN index when a
+// NaN is present, else the first maximum), same NaN fallback (best-scored
+// usable candidate).  On the same host this is bit-identical to the numpy
+// loop (tests/test_dr.py::test_native_greedy_matches_python) and replaces
+// ~80s of 2M-iteration Python at a 1M-item catalog with ~1s of C++.
+// ---------------------------------------------------------------------------
+
+extern "C" void dm_dr_greedy_select(
+    int64_t n_rows, int64_t j_paths, int64_t n_cand, int64_t num_iteration,
+    const int64_t* cand_idx,    // [n_rows, n_cand] factorized path-key index
+    const double* cand_scores,  // [n_rows, n_cand], -inf = invalid slot
+    const int64_t* occ_rows,    // [n_rows] training occurrences per row
+    int64_t* path_size,         // [n_keys] in/out
+    int64_t* sel_idx,           // [n_rows, j_paths] in/out (-1 init)
+    double penalty_factor, double q) {
+  std::vector<double> gains(n_cand);
+  std::vector<int64_t> chosen(j_paths);
+  const double neg_inf = -std::numeric_limits<double>::infinity();
+  for (int64_t t = 1; t <= num_iteration; ++t) {
+    for (int64_t r = 0; r < n_rows; ++r) {
+      if (occ_rows[r] == 0) continue;  // random-path items stay in Python
+      const double nv = static_cast<double>(occ_rows[r]);
+      const int64_t* ci = cand_idx + r * n_cand;
+      const double* sc = cand_scores + r * n_cand;
+      double partial = 0.0;
+      int64_t n_chosen = 0;
+      for (int64_t j = 0; j < j_paths; ++j) {
+        if (t > 1) path_size[sel_idx[r * j_paths + j]] -= 1;
+        // use = valid & !already-chosen; fall back to valid when empty
+        bool any_use = false;
+        bool use[64];  // n_cand is the CLI's num_candidate_path (<= 64)
+        for (int64_t c = 0; c < n_cand; ++c) {
+          bool ok = sc[c] > neg_inf;
+          bool dup = false;
+          for (int64_t k = 0; k < n_chosen; ++k)
+            if (chosen[k] == ci[c]) { dup = true; break; }
+          use[c] = ok && !dup;
+          any_use |= use[c];
+        }
+        if (!any_use)
+          for (int64_t c = 0; c < n_cand; ++c) use[c] = sc[c] > neg_inf;
+        const double base = log1p(partial);
+        for (int64_t c = 0; c < n_cand; ++c) {
+          if (!use[c]) { gains[c] = neg_inf; continue; }
+          const double s = static_cast<double>(path_size[ci[c]]);
+          const double pen =
+              penalty_factor * (pow(s + 1.0, q) - pow(s, q)) / q;
+          gains[c] = nv * (log1p(sc[c] + partial) - base) - pen;
+        }
+        // numpy argmax: first NaN wins, else first strict maximum
+        int64_t b = 0;
+        double bg = gains[0];
+        if (!std::isnan(bg)) {
+          for (int64_t c = 1; c < n_cand; ++c) {
+            if (std::isnan(gains[c])) { b = c; break; }
+            if (gains[c] > bg) { b = c; bg = gains[c]; }
+          }
+        }
+        if (!std::isfinite(gains[b])) {
+          // all gains NaN/-inf — keep the best-scored usable candidate
+          b = 0;
+          double bs = use[0] ? sc[0] : neg_inf;
+          bool nan_hit = std::isnan(bs);
+          if (!nan_hit) {
+            for (int64_t c = 1; c < n_cand; ++c) {
+              const double v = use[c] ? sc[c] : neg_inf;
+              if (std::isnan(v)) { b = c; break; }
+              if (v > bs) { b = c; bs = v; }
+            }
+          }
+        }
+        path_size[ci[b]] += 1;
+        chosen[n_chosen++] = ci[b];
+        partial += sc[b];
+        sel_idx[r * j_paths + j] = ci[b];
+      }
+    }
+  }
 }

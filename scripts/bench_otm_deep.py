@@ -88,13 +88,18 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--mode", choices=["sparse", "dense", "both", "formats"],
                     default="both")
+    ap.add_argument("--format", choices=["auto", "mv", "pmv"], default="auto")
     args = ap.parse_args()
 
     data = synthetic_otm_data(args.items, 4 * args.rows, 10, 5)
     print(json.dumps({"items": args.items, "n_rows": len(data.train_seqs),
                       "tree_nodes": data.num_tree_nodes}), flush=True)
     if args.mode == "formats":
-        # mv vs pmv: the r2 #9 decision measurement
+        # mv vs pmv: the r2 #9 decision measurement.  gc between runs: at
+        # 10M items one trainer's table+state is ~6GB; two alive at once
+        # exhaust HBM (the jitted-closure cycles delay collection).
+        import gc
+
         for fmt in ("mv", "pmv"):
             print(
                 json.dumps(
@@ -103,9 +108,11 @@ def main() -> None:
                 ),
                 flush=True,
             )
+            gc.collect()
         return
     if args.mode in ("sparse", "both"):
-        print(json.dumps(measure(data, True, args.steps, args.rows)),
+        print(json.dumps(measure(data, True, args.steps, args.rows,
+                                 sparse_format=args.format)),
               flush=True)
     if args.mode in ("dense", "both"):
         print(json.dumps(measure(data, False, args.steps, args.rows)),

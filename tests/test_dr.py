@@ -596,3 +596,40 @@ def test_streaming_fold_handles_duplicate_beam_paths():
     got9 = {int(k): float(s) for k, s in zip(keys[1], scores[1]) if k >= 0}
     np.testing.assert_allclose(got9[k12], 0.5, rtol=1e-12)
     np.testing.assert_allclose(got9[k03], 0.3, rtol=1e-12)
+
+
+def test_native_greedy_matches_python(dr_data):
+    """The C++ greedy J-path selection (native/host_ops.cc
+    dm_dr_greedy_select) is an exact port of the numpy loop: same libm
+    calls, numpy argmax/NaN semantics, processing order and rng draw order
+    — selections must be bit-identical on the same host, incl. the
+    multi-iteration path_size decrement and the random paths of unscored
+    items."""
+    import pytest as _pytest
+
+    from dismember_tpu.data.native import get_lib
+
+    if get_lib() is None:
+        _pytest.skip("native library unavailable")
+    tr = DRTrainer(
+        dr_data, num_layers=3, num_nodes=20, num_paths_per_item=2,
+        embed_size=8, train_batch_size=1024, beam_size=10, seed=0,
+    )
+    tr.train(num_epochs=1)
+    for mode, iters in (("batch", 1), ("streaming", 2)):
+        kw = dict(
+            num_iteration=iters, num_candidate_path=10, batch_size=512,
+            mode=mode, seed=3,
+        )
+        idx_py = coordinate_descent(
+            tr, dr_data.train_seqs[:1500], dr_data.train_targets[:1500],
+            greedy="python", **kw,
+        )
+        idx_nat = coordinate_descent(
+            tr, dr_data.train_seqs[:1500], dr_data.train_targets[:1500],
+            greedy="native", **kw,
+        )
+        np.testing.assert_array_equal(
+            idx_nat.item_paths, idx_py.item_paths,
+            err_msg=f"mode={mode}",
+        )
