@@ -26,6 +26,7 @@ sequence items are replaced by their ancestors at the chain level when
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Callable
@@ -81,6 +82,7 @@ class GenericTreeLearner:
     gap: int = 2
     score_batch_rows: int = 8192
     mesh: object = None
+    weights_mode: str = "auto"  # "device" | "host" | "auto"
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -95,6 +97,18 @@ class GenericTreeLearner:
             self._n_data = 1
             self._score_fn = jax.jit(self._score_impl)
             self._score_params = self.params
+        if self.weights_mode not in ("auto", "device", "host"):
+            raise ValueError(f"unknown weights_mode {self.weights_mode!r}")
+        # device-resident scoring is the default off-mesh: the host path
+        # ships every score batch through the device link (3.6MB up + 1MB
+        # down per 65536-row dispatch — measured 26ms device vs 6580ms
+        # blocked wall through the relay, 99% of the 371s 1M-item sweep,
+        # scripts/profile_jtm_sweep.py r4).  The mesh path keeps the
+        # host-FIFO dispatch (its sharded forward handles the transfers).
+        self._weights_device = self.weights_mode == "device" or (
+            self.weights_mode == "auto" and self.mesh is None
+        )
+        self._dev_cache = None
 
     # ------------------------------------------------------------------
     def _seq_codes_at_level(self, level: int) -> np.ndarray:
@@ -132,10 +146,139 @@ class GenericTreeLearner:
             jnp.asarray(seqs_np, jnp.int32),
         )
 
+    # ------------------------------------------------------------------
+    # device-resident weight computation: rows/positions live on the device
+    # across the whole sweep; per-batch dispatches carry only scalars; the
+    # [num_items, 2^d] weight matrix accumulates on-device and downloads
+    # ONCE per sweep step.  Link traffic per step drops from
+    # O(batches * (chain + seqs + logits)) to one [R] upload + one [N, 2^d]
+    # download — the 1M-item sweep's wall was 99% link transfer (see
+    # __post_init__).
+    # ------------------------------------------------------------------
+
+    def _hierarchical_level(self, level: int) -> int:
+        """Device twin of _seq_codes_at_level's routing: the ancestor level
+        to map sequence codes to, or -1 for raw codes."""
+        return -1
+
+    def _ensure_device_rows(self):
+        if self._dev_cache is not None:
+            return self._dev_cache
+        r, l = self.rows_codes.shape
+        b = self.score_batch_rows
+        r_pad = -(-max(r, 1) // b) * b
+        rows = np.full((r_pad, l), -1, np.int32)
+        rows[:r] = self.rows_codes
+        pos = np.full(r_pad, -1, np.int32)
+        pos[:r] = self.row_item_pos
+        n_items = len(self.items)
+
+        rows_dev = jnp.asarray(rows)
+        pos_dev = jnp.asarray(pos)
+        forward = self.forward
+
+        @functools.partial(jax.jit, static_argnames=("n_cand",), donate_argnums=(1,))
+        def step(params, acc, rows_d, pos_d, base_d, start, k, seq_lvl,
+                 n_cand):
+            rows_b = jax.lax.dynamic_slice(rows_d, (start, 0), (b, l))
+            pos_b = jax.lax.dynamic_slice(pos_d, (start,), (b,))
+            base_b = jax.lax.dynamic_slice(base_d, (start,), (b,))
+            cand = base_b[:, None] + jnp.arange(n_cand, dtype=jnp.int32)[None]
+            chain = ((cand + 1) >> k) - 1
+            valid_s = rows_b >= 0
+            c1 = jnp.where(valid_s, rows_b, 0) + 1
+            lev = 31 - jax.lax.clz(c1)
+            shift = jnp.maximum(lev - seq_lvl, 0)
+            anc = jnp.where(valid_s, (c1 >> shift) - 1, -1)
+            seqs = jnp.where(seq_lvl >= 0, anc, rows_b)
+            logits = forward(params, chain, seqs)
+            idx = jnp.where(pos_b >= 0, pos_b, n_items)
+            return acc.at[idx].add(logits)
+
+        self._dev_cache = (rows_dev, pos_dev, step, r_pad // b)
+        return self._dev_cache
+
+    def _accumulate_device(self, proj: np.ndarray, old_level: int, level: int):
+        """Run the step's whole scoring pass on-device; returns the [N+1,
+        2^d] f32 accumulator (row N collects padding) still on the device."""
+        rows_dev, pos_dev, step, n_batches = self._ensure_device_rows()
+        d = level - old_level
+        n_cand = 1 << d
+        n_items = len(self.items)
+        b = self.score_batch_rows
+
+        base = (proj.astype(np.int64) * n_cand + (n_cand - 1))[
+            self.row_item_pos
+        ]
+        base_pad = np.zeros(n_batches * b, np.int32)
+        base_pad[: len(base)] = base.astype(np.int32)
+        base_dev = jnp.asarray(base_pad)
+
+        acc = jnp.zeros((n_items + 1, n_cand), jnp.float32)
+        dispatched = 0
+        for k in range(d):
+            seq_lvl = self._hierarchical_level(level - k)
+            for bi in range(n_batches):
+                acc = step(
+                    self.params, acc, rows_dev, pos_dev, base_dev,
+                    jnp.int32(bi * b), jnp.int32(k), jnp.int32(seq_lvl),
+                    n_cand=n_cand,
+                )
+                dispatched += 1
+                if dispatched % 64 == 0:
+                    # bound the async dispatch queue through the relay
+                    jax.block_until_ready(acc)
+        return acc
+
+    def _has_rows(self) -> np.ndarray:
+        has_rows = np.zeros(len(self.items), dtype=bool)
+        has_rows[self.row_item_pos[self.row_item_pos >= 0]] = True
+        return has_rows
+
+    def _compute_weights_device(
+        self, proj: np.ndarray, old_level: int, level: int
+    ) -> np.ndarray:
+        acc = self._accumulate_device(proj, old_level, level)
+        weights = np.asarray(acc)[: len(self.items)].astype(np.float64)
+        weights[~self._has_rows()] = _LOW_WEIGHT
+        return weights
+
+    def _compute_choice_device(
+        self, proj: np.ndarray, old_level: int, level: int
+    ):
+        """(choice_j [N] argmax column, fetch_rows(idx) -> f64 weight rows):
+        the whole-matrix download shrinks to one int8/int32 argmax vector;
+        only over-capacity segments fetch their weight rows (a small device
+        gather), since the greedy rebalance is the only consumer."""
+        acc = self._accumulate_device(proj, old_level, level)
+        n_items = len(self.items)
+        n_cand = acc.shape[1]
+        amax = jnp.argmax(acc, axis=1)
+        if n_cand <= 127:
+            amax = amax.astype(jnp.int8)
+        choice_j = np.asarray(amax)[:n_items].astype(np.int64)
+        has_rows = self._has_rows()
+
+        def fetch_rows(idx: np.ndarray) -> np.ndarray:
+            rows = np.asarray(
+                acc[jnp.asarray(np.asarray(idx, np.int32))]
+            ).astype(np.float64)
+            rows[~has_rows[np.asarray(idx)]] = _LOW_WEIGHT
+            return rows
+
+        return choice_j, fetch_rows
+
     def compute_weights(self, proj: np.ndarray, old_level: int, level: int) -> np.ndarray:
         """Weight matrix [num_items, 2^d]: candidate j of item i is descendant
         j of proj[i]; weight = sum over chain levels and the item's training
-        rows of the model score.  Items without training rows get -1e6."""
+        rows of the model score.  Items without training rows get -1e6.
+
+        Off-mesh the device-resident path accumulates on-device in f32 (one
+        download per sweep step); ``weights_mode="host"`` keeps the
+        reference-ordered f64 host accumulation (the parity twin — same
+        scores, different summation order/precision)."""
+        if self._weights_device:
+            return self._compute_weights_device(proj, old_level, level)
         d = level - old_level
         n_cand = 1 << d
         n_items = len(self.items)
@@ -251,7 +394,14 @@ class GenericTreeLearner:
             level = min(max_level, old_level + self.gap)
             d = level - old_level
             t0 = time.perf_counter()
-            weights = self.compute_weights(proj, old_level, level)
+            if self._weights_device:
+                choice_j, fetch_rows = self._compute_choice_device(
+                    proj, old_level, level
+                )
+            else:
+                weights = self.compute_weights(proj, old_level, level)
+                choice_j = np.argmax(weights, axis=1)
+                fetch_rows = lambda idx: weights[idx]  # noqa: E731
             old_codes = self._old_ancestors_at_level(level)
             max_assign = 1 << (max_level - level)
             n_cand = 1 << d
@@ -264,7 +414,7 @@ class GenericTreeLearner:
             # old O(N * #occupied-nodes) host scan (flatnonzero per node) —
             # at catalog scale (1M items, level 18: 260k nodes) that scan
             # alone was hours of host time.
-            choice = proj * n_cand + (n_cand - 1) + np.argmax(weights, axis=1)
+            choice = proj * n_cand + (n_cand - 1) + choice_j
             uniq_child, counts = np.unique(choice, return_counts=True)
             over_children = uniq_child[counts > max_assign]
             over_parents = np.unique((over_children - (n_cand - 1)) // n_cand)
@@ -287,7 +437,7 @@ class GenericTreeLearner:
                     balanced = self.rebalance(
                         node_items,
                         candidates,
-                        weights[node_items],
+                        fetch_rows(node_items),
                         old_codes,
                         max_assign,
                     )
@@ -318,6 +468,7 @@ class TreeLearner(GenericTreeLearner):
         min_level: int = 0,
         score_batch_rows: int = 8192,
         mesh: object = None,
+        weights_mode: str = "auto",
     ):
         self.tree = tree
         self.hierarchical = hierarchical
@@ -342,6 +493,7 @@ class TreeLearner(GenericTreeLearner):
             gap=gap,
             score_batch_rows=score_batch_rows,
             mesh=mesh,
+            weights_mode=weights_mode,
         )
 
     def _seq_codes_at_level(self, level: int) -> np.ndarray:
@@ -356,6 +508,9 @@ class TreeLearner(GenericTreeLearner):
             return np.where(valid, anc, -1).astype(np.int32)
         return self.rows_codes
 
+    def _hierarchical_level(self, level: int) -> int:
+        return level if self.hierarchical and level >= self.min_level else -1
+
 
 def otm_tree_learner(
     params: dict,
@@ -365,6 +520,8 @@ def otm_tree_learner(
     train_labels_codes: np.ndarray,  # [N, label_num] mapped codes (-1 pad)
     gap: int = 2,
     mesh: object = None,
+    score_batch_rows: int = 8192,
+    weights_mode: str = "auto",
 ) -> GenericTreeLearner:
     """OTM tree construction (otm/.../tree/TreeConstruction.scala): the same
     assignment algorithm over the implicit complete tree; each (sequence,
@@ -374,20 +531,17 @@ def otm_tree_learner(
     leaf_level = int(math.ceil(math.log2(len(item_to_code))))
     items = np.asarray(sorted(item_to_code), dtype=np.int64)
     code_of_item = np.asarray([item_to_code[int(i)] for i in items], dtype=np.int64)
-    code_to_pos = {int(c): i for i, c in enumerate(code_of_item)}
 
-    rows = []
-    row_pos = []
-    for seq, labels in zip(train_seqs_codes, train_labels_codes):
-        for label in labels:
-            if label >= 0 and int(label) in code_to_pos:
-                rows.append(seq)
-                row_pos.append(code_to_pos[int(label)])
-    rows = (
-        np.stack(rows)
-        if rows
-        else np.zeros((0, train_seqs_codes.shape[1]), dtype=np.int64)
-    )
+    # vectorized (seq, label) -> row expansion: np.nonzero is row-major, so
+    # row order matches the reference's nested loop exactly
+    labels_arr = np.asarray(train_labels_codes, np.int64)
+    pos_of_code = np.full(int(code_of_item.max(initial=0)) + 2, -1, np.int64)
+    pos_of_code[code_of_item] = np.arange(len(code_of_item))
+    safe = np.clip(labels_arr, 0, len(pos_of_code) - 1)
+    mask = (labels_arr >= 0) & (pos_of_code[safe] >= 0)
+    row_idx, _col = np.nonzero(mask)
+    rows = np.asarray(train_seqs_codes, np.int64)[row_idx]
+    row_pos = pos_of_code[labels_arr[mask]]
     return GenericTreeLearner(
         params=params,
         forward=forward,
@@ -398,6 +552,8 @@ def otm_tree_learner(
         row_item_pos=np.asarray(row_pos, np.int64),
         gap=gap,
         mesh=mesh,
+        score_batch_rows=score_batch_rows,
+        weights_mode=weights_mode,
     )
 
 

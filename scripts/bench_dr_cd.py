@@ -25,7 +25,12 @@ def main() -> None:
     ap.add_argument("--rows-per-item", type=int, default=2)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--cand", type=int, default=20)
+    ap.add_argument("--mode", choices=["batch", "streaming", "both"],
+                    default="batch")
     args = ap.parse_args()
+    import logging
+
+    logging.basicConfig(level=logging.INFO)  # CD phase walls
 
     from dismember_tpu.data.dr_dataset import DRData
     from dismember_tpu.train.dr import DRTrainer
@@ -47,19 +52,21 @@ def main() -> None:
         data, num_layers=3, num_nodes=100, num_paths_per_item=2,
         embed_size=16, train_batch_size=args.batch, num_sampled=8, seed=0,
     )
-    t0 = time.perf_counter()
-    new_index = coordinate_descent(
-        trainer, data.train_seqs, data.train_targets, num_iteration=1,
-        num_candidate_path=args.cand, batch_size=args.batch, mode="batch",
-    )
-    t_cd = time.perf_counter() - t0
-    assert new_index.item_paths.shape == (n, 2, 3)
-    assert (new_index.item_paths >= 0).all()
-    assert (new_index.item_paths < 100).all()
-    print(json.dumps({
-        "items": n, "rows": r, "cd_wall_s": round(t_cd, 1),
-        "rows_per_s": round(r / t_cd),
-    }), flush=True)
+    modes = ["batch", "streaming"] if args.mode == "both" else [args.mode]
+    for mode in modes:
+        t0 = time.perf_counter()
+        new_index = coordinate_descent(
+            trainer, data.train_seqs, data.train_targets, num_iteration=1,
+            num_candidate_path=args.cand, batch_size=args.batch, mode=mode,
+        )
+        t_cd = time.perf_counter() - t0
+        assert new_index.item_paths.shape == (n, 2, 3)
+        assert (new_index.item_paths >= 0).all()
+        assert (new_index.item_paths < 100).all()
+        print(json.dumps({
+            "items": n, "rows": r, "mode": mode, "cd_wall_s": round(t_cd, 1),
+            "rows_per_s": round(r / t_cd),
+        }), flush=True)
 
 
 if __name__ == "__main__":

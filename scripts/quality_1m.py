@@ -274,6 +274,188 @@ def run_tdm(args) -> None:
     }), flush=True)
 
 
+def run_otm(args) -> None:
+    """OTM end-to-end at catalog scale (VERDICT r3 #5): train on the init
+    mapping -> construct tree from model scores (otm TreeConstruction) ->
+    retrain on the constructed mapping, held-out recall per stage.
+    Protocol anchor: /root/reference/doc/OTM.md:22."""
+    from dismember_tpu.core.metrics import compute_metrics_batch
+    from dismember_tpu.data.otm_dataset import OTMData
+    from dismember_tpu.train.jtm import otm_tree_learner
+    from dismember_tpu.train.otm import OTMTrainer
+
+    (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
+     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+    n = args.items
+    rng = np.random.default_rng(args.seed)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    leaf_level = int(np.ceil(np.log2(n)))
+    leaf_lo = (1 << leaf_level) - 1
+    n_nodes = (1 << (leaf_level + 1)) - 1
+    if args.init == "random":
+        perm = rng.permutation(n)
+    else:
+        perm = np.arange(n)  # ids are genre-contiguous: identity = category
+    rows = min(args.otm_rows, len(train_targets))
+    sub = rng.permutation(len(train_targets))[:rows]
+    tr_seqs_raw = train_seqs[sub]
+    tr_tgt_raw = train_targets[sub]
+
+    per_genre = n // args.genres
+    anc_level = int(np.ceil(np.log2(args.genres)))
+
+    def purity(code_of_id_arr):
+        anc = code_of_id_arr[ids].copy()
+        for _ in range(leaf_level - anc_level):
+            anc = (anc - 1) >> 1
+        g = (ids - 1) // per_genre
+        order = np.lexsort((g, anc))
+        anc_s, g_s = anc[order], g[order]
+        new_run = np.ones(len(anc_s), bool)
+        new_run[1:] = (anc_s[1:] != anc_s[:-1]) | (g_s[1:] != g_s[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        run_counts = np.bincount(run_ids)
+        run_anc = anc_s[new_run]
+        best = {}
+        for a, c in zip(run_anc, run_counts):
+            if c > best.get(a, 0):
+                best[a] = c
+        return float(sum(best.values())) / n
+
+    def make_trainer(code_of_id_arr):
+        to_codes = lambda x: np.where(  # noqa: E731
+            x > 0, code_of_id_arr[np.maximum(x, 0)], -1
+        )
+        item_to_code = dict(
+            zip(ids.tolist(), code_of_id_arr[ids].tolist())
+        )
+        all_nodes = np.zeros(n_nodes, bool)
+        cur = code_of_id_arr[ids]
+        all_nodes[cur] = True
+        for _ in range(leaf_level):
+            cur = np.unique((cur - 1) >> 1)
+            cur = cur[cur >= 0]
+            all_nodes[cur] = True
+        data = OTMData(
+            item_to_code=item_to_code,
+            code_to_item={v: k for k, v in item_to_code.items()},
+            leaf_level=leaf_level, num_items=n, all_nodes=all_nodes,
+            train_seqs=to_codes(tr_seqs_raw).astype(np.int64),
+            train_labels=to_codes(tr_tgt_raw[:, None]).astype(np.int64),
+            train_users=np.zeros(rows, np.int64),
+            eval_seqs=to_codes(eval_seqs[:8]).astype(np.int64),
+            eval_labels=to_codes(eval_labels[:8, :1]).astype(np.int64),
+            eval_users=np.zeros(8, np.int64),
+            user_consumed={}, label_num=1,
+        )
+        trainer = OTMTrainer(
+            data, model_type="din", embed_size=args.embed,
+            learning_rate=args.lr, beam_size=20, topk=10, seq_len=SEQ_LEN,
+            total_train_batch_size=args.otm_total_batch, seed=args.seed,
+            target_mode="pseudo",
+        )
+        return trainer, to_codes
+
+    id_of_code = np.zeros(n_nodes + 1, np.int64)
+
+    def recall_otm(trainer, code_of_id_arr, to_codes, n_eval=20_000,
+                   batch=4096, topk=10):
+        id_of_code[:] = 0
+        id_of_code[code_of_id_arr[ids]] = ids
+        n_eval = min(n_eval, len(eval_seqs))
+        max_c = max(len(consumed[int(u)]) for u in eval_users[:n_eval])
+        rec_sum = nd_sum = 0.0
+        for s in range(0, n_eval, batch):
+            e = min(s + batch, n_eval)
+            codes_b, scores_b = trainer.batch_beam_search(
+                to_codes(eval_seqs[s:e]).astype(np.int64)
+            )
+            codes_b = np.asarray(codes_b)
+            rec_ids = np.where(
+                (codes_b >= 0) & (codes_b <= n_nodes),
+                id_of_code[np.clip(codes_b, 0, n_nodes)], 0,
+            )
+            ok = rec_ids > 0
+            cons = np.zeros((e - s, max_c), np.int64)
+            for i, u in enumerate(eval_users[s:e]):
+                c = consumed[int(u)]
+                cons[i, : len(c)] = c
+            ok &= ~(rec_ids[:, :, None] == cons[:, None, :]).any(-1)
+            masked = np.where(ok, np.asarray(scores_b, np.float64), -np.inf)
+            order = np.argsort(-masked, axis=1, kind="stable")[:, :topk]
+            sel_ids = np.take_along_axis(rec_ids, order, axis=1)
+            sel_ok = np.isfinite(np.take_along_axis(masked, order, axis=1))
+            sel_ids = np.where(sel_ok, sel_ids, -1)
+            _, r, nd = compute_metrics_batch(sel_ids, eval_labels[s:e])
+            rec_sum += float(r.sum())
+            nd_sum += float(nd.sum())
+        return rec_sum / n_eval, nd_sum / n_eval
+
+    pop_rec, pop_nd = _popularity_recall(
+        train_targets, eval_labels, consumed, eval_users
+    )
+    print(json.dumps({
+        "stage": "popularity_baseline", "recall@10": round(pop_rec, 5),
+        "ndcg@10": round(pop_nd, 5),
+    }), flush=True)
+
+    code0 = np.zeros(n + 1, np.int64)
+    code0[ids] = leaf_lo + perm
+
+    def stage(name, code_of_id_arr):
+        trainer, to_codes = make_trainer(code_of_id_arr)
+        t0 = time.perf_counter()
+        logs = trainer.train(num_epochs=args.otm_epochs)
+        wall = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        rec, nd = recall_otm(trainer, code_of_id_arr, to_codes)
+        print(json.dumps({
+            "stage": name,
+            "loss_last_level_first_epoch": round(
+                logs[0]["level_losses"][-1], 4
+            ),
+            "loss_last_level_last_epoch": round(
+                logs[-1]["level_losses"][-1], 4
+            ),
+            "recall@10": round(rec, 5), "ndcg@10": round(nd, 5),
+            "train_wall_s": round(wall, 1),
+            "eval_wall_s": round(time.perf_counter() - t1, 1),
+        }), flush=True)
+        return trainer, to_codes, rec
+
+    trainer1, to_codes1, r1 = stage(f"otm_train_{args.init}_mapping", code0)
+
+    # tree construction from the trained model's scores (TreeConstruction)
+    trainer1._sync_mirrors()
+    t0 = time.perf_counter()
+    n_learn = min(args.jtm_rows, rows)
+    learner = otm_tree_learner(
+        params=trainer1.params, forward=trainer1.forward,
+        item_to_code=dict(zip(ids.tolist(), code0[ids].tolist())),
+        train_seqs_codes=to_codes1(tr_seqs_raw[:n_learn]),
+        train_labels_codes=to_codes1(tr_tgt_raw[:n_learn, None]),
+        gap=2, score_batch_rows=65536,
+    )
+    proj = learner.optimize()
+    code1 = np.zeros(n + 1, np.int64)
+    code1[np.asarray(list(proj.keys()), np.int64)] = np.asarray(
+        list(proj.values()), np.int64
+    )
+    print(json.dumps({
+        "stage": "otm_tree_construction",
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "purity": round(purity(code1), 4),
+        "purity_init": round(purity(code0), 4),
+    }), flush=True)
+
+    _trainer2, _to_codes2, r2 = stage("otm_retrain_constructed_tree", code1)
+    print(json.dumps({
+        "stage": "otm_summary", "init": args.init,
+        "recall_init": round(r1, 5), "recall_constructed": round(r2, 5),
+        "improved": bool(r2 > r1),
+    }), flush=True)
+
+
 def _path_stats(path_index, num_nodes: int) -> dict:
     """Path-size distribution of a PathIndex: after an M-step on a weakly
     trained model, items concentrate onto popular candidate paths, and any
@@ -408,7 +590,7 @@ def run_dr(args) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("algo", choices=["tdm", "dr"])
+    ap.add_argument("algo", choices=["tdm", "dr", "otm"])
     ap.add_argument("--items", type=int, default=1_000_000)
     ap.add_argument("--users", type=int, default=150_000)
     ap.add_argument("--genres", type=int, default=2000)

@@ -152,6 +152,7 @@ def test_fastpath_matches_full_greedy():
     class StubLearner(GenericTreeLearner):
         def __post_init__(self):
             self._rng = np.random.default_rng(7)
+            self._weights_device = False  # stub supplies compute_weights
 
         def compute_weights(self, proj, old_level, level):
             d = level - old_level
@@ -198,3 +199,42 @@ def test_fastpath_matches_full_greedy():
         proj = new_proj
     slow = {int(learner.items[i]): int(proj[i]) for i in range(n_items)}
     assert fast == slow
+
+
+def test_device_weights_match_host(setup):
+    """The device-resident weight accumulation (weights_mode="device", the
+    off-mesh default — one [N, 2^d] download per sweep step instead of one
+    logit payload per score batch) must match the host-FIFO f64 path:
+    weights close (f32 vs f64 accumulation order), projection identical on
+    this data."""
+    tree, params, train_seqs, train_targets = setup
+    kw = dict(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=2,
+        score_batch_rows=61,  # ragged tails exercise the padded batches
+    )
+    host = TreeLearner(weights_mode="host", **kw)
+    dev = TreeLearner(weights_mode="device", **kw)
+    assert dev._weights_device and not host._weights_device
+    proj0 = np.zeros(len(host.items), dtype=np.int64)
+    w_h = host.compute_weights(proj0, 0, 2)
+    w_d = dev.compute_weights(proj0, 0, 2)
+    np.testing.assert_allclose(w_d, w_h, rtol=1e-5, atol=1e-5)
+    assert host.optimize() == dev.optimize()
+
+
+def test_device_weights_hierarchical(setup):
+    """Hierarchical preference through the on-device ancestor math."""
+    tree, params, train_seqs, train_targets = setup
+    kw = dict(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=train_seqs, train_targets=train_targets, gap=3,
+        hierarchical=True, min_level=2,
+    )
+    host = TreeLearner(weights_mode="host", **kw)
+    dev = TreeLearner(weights_mode="device", **kw)
+    proj0 = np.zeros(len(host.items), dtype=np.int64)
+    w_h = host.compute_weights(proj0, 0, 3)
+    w_d = dev.compute_weights(proj0, 0, 3)
+    np.testing.assert_allclose(w_d, w_h, rtol=1e-5, atol=1e-5)
+    assert host.optimize() == dev.optimize()

@@ -54,7 +54,9 @@ def test_mesh_sweep_matches_single_chip(setup):
         tree=tree, params=params, forward=din.forward,
         train_seqs=train_seqs, train_targets=train_targets, gap=2,
     )
-    ref = TreeLearner(**kw)
+    # host mode on the ref: the mesh path uses host-FIFO accumulation, so
+    # the bit-parity claim is about sharding, not the accumulation format
+    ref = TreeLearner(weights_mode="host", **kw)
     sh = TreeLearner(mesh=mesh, score_batch_rows=61, **kw)
     assert sh._score_params["embedding"].sharding.spec == (
         jax.sharding.PartitionSpec(meshlib.MODEL_AXIS, None)
@@ -74,7 +76,7 @@ def test_mesh_weights_bitwise(setup):
         train_seqs=train_seqs, train_targets=train_targets, gap=2,
         hierarchical=True, min_level=2,
     )
-    ref = TreeLearner(**kw)
+    ref = TreeLearner(weights_mode="host", **kw)
     sh = TreeLearner(mesh=mesh, score_batch_rows=100, **kw)
     proj = np.zeros(len(ref.items), dtype=np.int64)
     w_ref = ref.compute_weights(proj, 0, 2)
