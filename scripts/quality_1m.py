@@ -218,13 +218,25 @@ def run_tdm(args) -> None:
         return float(sum(best.values())) / n
 
     t0 = time.perf_counter()
-    emb = np.asarray(trainer.params["embedding"])[
-        tree.ids_to_codes(ids)
-    ].astype(np.float32)
-    _, new_codes = tree_cluster(ids, emb, cluster_iter=5, seed=args.seed)
+    if args.cluster_features == "cooc":
+        # round-4 fix: cluster on session co-occurrence statistics instead
+        # of leaf embeddings (the r3 diagnosis root cause: 2-epoch leaf
+        # embeddings carry no genre signal — purity 0.017-0.028 vs 0.747
+        # ceiling; cooc features reach 0.193 at 200k items)
+        from dismember_tpu.index.cluster import cooccurrence_embeddings
+
+        feats = cooccurrence_embeddings(
+            train_seqs - 1, train_targets - 1, n, dim=32, seed=args.seed
+        )
+    else:
+        feats = np.asarray(trainer.params["embedding"])[
+            tree.ids_to_codes(ids)
+        ].astype(np.float32)
+    _, new_codes = tree_cluster(ids, feats, cluster_iter=5, seed=args.seed)
     cluster_wall = time.perf_counter() - t0
     print(json.dumps({
-        "stage": "tdm_recluster", "wall_s": round(cluster_wall, 1),
+        "stage": "tdm_recluster", "features": args.cluster_features,
+        "wall_s": round(cluster_wall, 1),
         "purity": round(purity(new_codes), 4),
         "purity_init": round(purity(codes0), 4),
     }), flush=True)
@@ -607,10 +619,17 @@ def main() -> None:
     ap.add_argument("--cd-mode", default="streaming")
     ap.add_argument("--init", default="random", choices=["random", "category"])
     ap.add_argument("--jtm-rows", type=int, default=2_000_000)
+    ap.add_argument("--cluster-features", default="embedding",
+                    choices=["embedding", "cooc"])
+    ap.add_argument("--otm-rows", type=int, default=1_200_000)
+    ap.add_argument("--otm-epochs", type=int, default=2)
+    ap.add_argument("--otm-total-batch", type=int, default=10240)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.algo == "tdm":
         run_tdm(args)
+    elif args.algo == "otm":
+        run_otm(args)
     else:
         run_dr(args)
 
