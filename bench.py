@@ -177,6 +177,68 @@ def deep_catalog_bench() -> None:
     )
 
 
+def otm_deep_catalog_bench() -> None:
+    """OTM whole-batch train at 10M items (pmv scan — round 4's 2.0x over
+    the mv format, 17x over dense Adam; BASELINE.md)."""
+    import gc
+
+    import jax.numpy as jnp
+
+    from devtime import device_time_ms
+    from dismember_tpu.data.otm_dataset import OTMData, upper_log2
+    from dismember_tpu.train.otm import OTMTrainer
+
+    rng = np.random.default_rng(0)
+    n, n_rows, l = 10_000_000, 1024, 10
+    leaf_level = upper_log2(n)
+    lo = (1 << leaf_level) - 1
+    seqs = rng.integers(lo, lo + n, size=(n_rows, l))
+    labels = rng.integers(lo, lo + n, size=(n_rows, 5))
+    data = OTMData(
+        item_to_code={}, code_to_item={}, leaf_level=leaf_level,
+        num_items=n, all_nodes=np.empty(0, bool),
+        train_seqs=seqs.astype(np.int64),
+        train_labels=labels.astype(np.int64),
+        train_users=np.zeros(n_rows, np.int64),
+        eval_seqs=np.empty((0, l), np.int64),
+        eval_labels=np.empty((0, 5), np.int64),
+        eval_users=np.empty(0, np.int64),
+        user_consumed={}, label_num=5,
+    )
+    trainer = OTMTrainer(
+        data, embed_size=16, total_train_batch_size=256 * 40, beam_size=20,
+        target_mode="pseudo", seed=0, sparse_embed_update=True,
+    )
+    sj = jnp.asarray(seqs[: trainer.train_batch_size], jnp.int32)
+    tj = jnp.asarray(labels[: trainer.train_batch_size], jnp.int32)
+
+    def thunk():
+        trainer.params, trainer.opt_state, losses = trainer._train_batch(
+            trainer.params, trainer.opt_state, sj, tj
+        )
+        return losses
+
+    ms = device_time_ms(thunk, iters=10)
+    rows_per_s = trainer.train_batch_size * 40 / (ms / 1e3) if ms > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "otm_deep_catalog_train_rows_per_s_10m_items",
+                "value": round(rows_per_s, 1),
+                "unit": (
+                    "expanded rows/s (10M items, 20-level whole-batch scan, "
+                    "pmv sparse Adam; xplane device time)"
+                ),
+                # round-2 measured sparse scan (117 ms/batch = 87.5k rows/s)
+                "vs_baseline": round(rows_per_s / 87_500.0, 3),
+            }
+        ),
+        flush=True,
+    )
+    del trainer, data
+    gc.collect()
+
+
 def dr_deep_catalog_bench() -> None:
     """1M-item Deep Retrieval device serving QPS (path-major block rerank)
     and 10M-item E-step training rows/s (p|m|v packed sparse Adam)."""
@@ -429,7 +491,9 @@ if __name__ == "__main__":
     # response ("response body closed before all bytes were read"), and one
     # transient failure must not cost the driver the remaining rows.
     if os.environ.get("DISMEMBER_BENCH_DEEP", "1") != "0":
-        for section in (deep_catalog_bench, dr_deep_catalog_bench):
+        for section in (
+            deep_catalog_bench, otm_deep_catalog_bench, dr_deep_catalog_bench
+        ):
             try:
                 section()
             except Exception as exc:  # noqa: BLE001
