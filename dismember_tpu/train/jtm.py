@@ -430,14 +430,31 @@ class GenericTreeLearner:
                 seg_ends = np.append(seg_starts[1:], len(sorted_proj))
                 seg_nodes = sorted_proj[seg_starts]
                 need = np.isin(seg_nodes, over_parents)
-                for s0, e0 in zip(seg_starts[need], seg_ends[need]):
-                    node = int(sorted_proj[s0])
-                    node_items = order_items[s0:e0]
+                # ONE batched weight fetch for every over-capacity segment:
+                # per-segment fetches pay a device round-trip each, and the
+                # segment count explodes toward the leaf level (capacity
+                # 2^(max_level-level) -> 1) — measured 94.7s for one level
+                # at 100k items before batching (data/r4/jtm_triage.log)
+                need_rows = [
+                    order_items[s0:e0]
+                    for s0, e0 in zip(seg_starts[need], seg_ends[need])
+                ]
+                all_idx = (
+                    np.concatenate(need_rows)
+                    if need_rows
+                    else np.zeros(0, np.int64)
+                )
+                all_rows = fetch_rows(all_idx)
+                off = 0
+                for node_items in need_rows:
+                    node = int(proj[node_items[0]])
+                    seg_rows = all_rows[off : off + len(node_items)]
+                    off += len(node_items)
                     candidates = node * n_cand + (n_cand - 1) + np.arange(n_cand)
                     balanced = self.rebalance(
                         node_items,
                         candidates,
-                        fetch_rows(node_items),
+                        seg_rows,
                         old_codes,
                         max_assign,
                     )
