@@ -244,6 +244,16 @@ def run_tdm(args) -> None:
     trainer2, _ = make_trainer(new_codes)
     r2 = stage("tdm_retrain_clustered_tree", trainer2, args.iters)
 
+    if args.skip_jtm:
+        print(json.dumps({
+            "stage": "tdm_summary", "init": args.init,
+            "features": args.cluster_features,
+            "recall_init_tree": round(r1, 5),
+            "recall_clustered": round(r2, 5),
+            "improved": bool(r2 > r1),
+        }), flush=True)
+        return
+
     # JTM tree learning (the reference's model-matched index relearn,
     # doc/JTM.md): assign items to leaves maximizing the CURRENT model's
     # score.  The alternation continues from the better stage so far — a
@@ -253,11 +263,14 @@ def run_tdm(args) -> None:
 
     base = trainer2 if r2 >= r1 else trainer
     t0 = time.perf_counter()
+    # weights_mode="host": one-shot sweep in the relay environment — the
+    # device-resident path pays a ~300s per-process remote compile that the
+    # host-FIFO path amortizes better for a single sweep (data/r4 triage)
     learner = TreeLearner(
         tree=base.tree, params=base.params, forward=base.forward,
         train_seqs=train_seqs[: args.jtm_rows],
         train_targets=train_targets[: args.jtm_rows],
-        gap=2, score_batch_rows=65536,
+        gap=2, score_batch_rows=65536, weights_mode="host",
     )
     proj = learner.optimize()
     with tempfile.TemporaryDirectory() as td:
@@ -446,7 +459,7 @@ def run_otm(args) -> None:
         item_to_code=dict(zip(ids.tolist(), code0[ids].tolist())),
         train_seqs_codes=to_codes1(tr_seqs_raw[:n_learn]),
         train_labels_codes=to_codes1(tr_tgt_raw[:n_learn, None]),
-        gap=2, score_batch_rows=65536,
+        gap=2, score_batch_rows=65536, weights_mode="host",
     )
     proj = learner.optimize()
     code1 = np.zeros(n + 1, np.int64)
@@ -621,6 +634,7 @@ def main() -> None:
     ap.add_argument("--jtm-rows", type=int, default=2_000_000)
     ap.add_argument("--cluster-features", default="embedding",
                     choices=["embedding", "cooc"])
+    ap.add_argument("--skip-jtm", action="store_true")
     ap.add_argument("--otm-rows", type=int, default=1_200_000)
     ap.add_argument("--otm-epochs", type=int, default=2)
     ap.add_argument("--otm-total-batch", type=int, default=10240)
