@@ -52,6 +52,36 @@ def build_item_sequence_map(
     return train_seqs[order], train_targets[order]
 
 
+
+@functools.lru_cache(maxsize=8)
+def _device_step_fn(forward, b: int, l: int, n_items: int):
+    """Module-level step builder so alternation rounds (fresh learners over
+    the SAME training rows) reuse the jit executable — the remote-compile
+    relay takes minutes per program, and a per-learner closure would lose
+    jax's compile cache with every round."""
+
+    @functools.partial(
+        jax.jit, static_argnames=("n_cand",), donate_argnums=(1,)
+    )
+    def step(params, acc, rows_d, pos_d, base_d, start, k, seq_lvl, n_cand):
+        rows_b = jax.lax.dynamic_slice(rows_d, (start, 0), (b, l))
+        pos_b = jax.lax.dynamic_slice(pos_d, (start,), (b,))
+        base_b = jax.lax.dynamic_slice(base_d, (start,), (b,))
+        cand = base_b[:, None] + jnp.arange(n_cand, dtype=jnp.int32)[None]
+        chain = ((cand + 1) >> k) - 1
+        valid_s = rows_b >= 0
+        c1 = jnp.where(valid_s, rows_b, 0) + 1
+        lev = 31 - jax.lax.clz(c1)
+        shift = jnp.maximum(lev - seq_lvl, 0)
+        anc = jnp.where(valid_s, (c1 >> shift) - 1, -1)
+        seqs = jnp.where(seq_lvl >= 0, anc, rows_b)
+        logits = forward(params, chain, seqs)
+        idx = jnp.where(pos_b >= 0, pos_b, n_items)
+        return acc.at[idx].add(logits)
+
+    return step
+
+
 @dataclasses.dataclass
 class GenericTreeLearner:
     """Shared machinery for JTM tree learning and OTM tree construction:
@@ -175,26 +205,7 @@ class GenericTreeLearner:
 
         rows_dev = jnp.asarray(rows)
         pos_dev = jnp.asarray(pos)
-        forward = self.forward
-
-        @functools.partial(jax.jit, static_argnames=("n_cand",), donate_argnums=(1,))
-        def step(params, acc, rows_d, pos_d, base_d, start, k, seq_lvl,
-                 n_cand):
-            rows_b = jax.lax.dynamic_slice(rows_d, (start, 0), (b, l))
-            pos_b = jax.lax.dynamic_slice(pos_d, (start,), (b,))
-            base_b = jax.lax.dynamic_slice(base_d, (start,), (b,))
-            cand = base_b[:, None] + jnp.arange(n_cand, dtype=jnp.int32)[None]
-            chain = ((cand + 1) >> k) - 1
-            valid_s = rows_b >= 0
-            c1 = jnp.where(valid_s, rows_b, 0) + 1
-            lev = 31 - jax.lax.clz(c1)
-            shift = jnp.maximum(lev - seq_lvl, 0)
-            anc = jnp.where(valid_s, (c1 >> shift) - 1, -1)
-            seqs = jnp.where(seq_lvl >= 0, anc, rows_b)
-            logits = forward(params, chain, seqs)
-            idx = jnp.where(pos_b >= 0, pos_b, n_items)
-            return acc.at[idx].add(logits)
-
+        step = _device_step_fn(self.forward, b, l, n_items)
         self._dev_cache = (rows_dev, pos_dev, step, r_pad // b)
         return self._dev_cache
 
