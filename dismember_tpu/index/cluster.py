@@ -478,9 +478,13 @@ def cooccurrence_embeddings(
     for _ in range(n_iters):
         g = np.zeros_like(f)
         g[segs] = np.add.reduceat(f[src] * wn, starts, axis=0)
-        gram = (g.T @ g / num_items).astype(np.float64)
-        chol = np.linalg.cholesky(gram + 1e-9 * np.eye(dim))
-        g = np.linalg.solve(chol, g.T.astype(np.float64)).T.astype(np.float32)
+        # column orthonormalization via reduced QR (subspace iteration);
+        # robust to rank deficiency, unlike Cholesky whitening, and
+        # O(N * dim^2) — ~2s/iter at 1M x 32
+        q, _r = np.linalg.qr(g.astype(np.float64))
+        if q.shape[1] < dim:  # num_items < dim: reduced QR truncates
+            q = np.pad(q, ((0, 0), (0, dim - q.shape[1])))
+        g = (q * np.sqrt(num_items)).astype(np.float32)
         f = np.where(touched[:, None], g, f)
     return f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
 

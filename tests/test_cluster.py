@@ -87,3 +87,58 @@ def test_tiny_sets():
     embeds = np.array([[0.0, 0.0], [1.0, 1.0]])
     out_ids, codes = tree_cluster(ids, embeds)
     assert sorted(codes.tolist()) == [1, 2]
+
+
+def test_cooccurrence_embeddings_group_structure():
+    """Items from the same 'genre' co-occur in sessions; their features
+    must be mutually closer than cross-genre, and the recursive clusterer
+    over them must put same-genre items under common subtrees (the r4
+    cluster-input fix; recipe provenance in the docstring)."""
+    from dismember_tpu.index.cluster import (
+        cooccurrence_embeddings,
+        tree_cluster,
+    )
+
+    rng = np.random.default_rng(0)
+    n_items, n_genres = 256, 8
+    per = n_items // n_genres
+    rows = 3000
+    g = rng.integers(0, n_genres, size=rows)
+    seqs = (g[:, None] * per + rng.integers(0, per, size=(rows, 6))).astype(
+        np.int64
+    )
+    targets = (g * per + rng.integers(0, per, size=rows)).astype(np.int64)
+    feats = cooccurrence_embeddings(seqs, targets, n_items, dim=16, n_iters=6)
+    assert feats.shape == (n_items, 16)
+    # NN genre consistency well above chance (1/8)
+    sims = feats @ feats.T
+    np.fill_diagonal(sims, -9)
+    nn = np.argmax(sims, axis=1)
+    cons = ((np.arange(n_items) // per) == (nn // per)).mean()
+    assert cons > 0.6, cons
+    # clustering the features groups genres: purity at the genre level
+    ids = np.arange(1, n_items + 1)
+    ids_out, codes = tree_cluster(ids, feats, cluster_iter=5)
+    order = np.argsort(ids_out)
+    c = np.asarray(codes, np.int64)[order]
+    lvl = np.floor(np.log2(c + 1)).astype(np.int64)
+    anc = ((c + 1) >> np.maximum(lvl - 3, 0)) - 1
+    genre = np.arange(n_items) // per
+    purity = sum(
+        np.bincount(genre[anc == a]).max() for a in np.unique(anc)
+    ) / n_items
+    assert purity > 0.5, purity
+
+
+def test_cooccurrence_embeddings_padding_and_unseen():
+    """-1 pads are dropped; never-seen items keep unit-norm random init."""
+    from dismember_tpu.index.cluster import cooccurrence_embeddings
+
+    seqs = np.array([[0, 1, -1], [1, 2, -1]], np.int64)
+    targets = np.array([2, 0], np.int64)
+    feats = cooccurrence_embeddings(seqs, targets, 6, dim=8, n_iters=2)
+    assert feats.shape == (6, 8)
+    assert np.isfinite(feats).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5
+    )
