@@ -645,7 +645,10 @@ class OTMTrainer:
                     self.params, self.opt_state, losses = self._train_batch(
                         self.params, self.opt_state, seqs, targets
                     )
-                level_losses = [float(x) for x in losses]
+                # ONE device fetch for all level losses: per-float fetches
+                # cost one blocked relay round-trip each (n_levels per
+                # batch ~= 600ms of pure RTT at 20 levels)
+                level_losses = np.asarray(losses).astype(float).tolist()
                 epoch_losses.append(level_losses)
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
                     logger.info(
