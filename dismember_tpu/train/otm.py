@@ -618,11 +618,27 @@ class OTMTrainer:
             from dismember_tpu.core.mesh import DATA_AXIS
 
             n_data = self.mesh.shape[DATA_AXIS]
+        from collections import deque
+
         for epoch in range(1, num_epochs + 1):
             perm = rng.permutation(n)
             epoch_losses: list[list[float]] = []
             t0 = time.perf_counter()
             num_batches = math.ceil(n / self.train_batch_size)
+            # FIFO window of in-flight loss fetches: materializing each
+            # batch's losses immediately blocks one relay round-trip per
+            # batch; a window keeps the device busy on batches i+1..i+W
+            # while the host drains batch i (same pattern as
+            # jtm.compute_weights / dr_coordinate._pipelined_beam).  One
+            # fetch moves ALL level losses (the per-float loop before it
+            # cost n_levels round-trips per batch).
+            inflight: deque = deque()
+
+            def drain() -> None:
+                epoch_losses.append(
+                    np.asarray(inflight.popleft()).astype(float).tolist()
+                )
+
             for bi in range(num_batches):
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
                 if self.mesh is not None and len(idx) % n_data:
@@ -645,16 +661,18 @@ class OTMTrainer:
                     self.params, self.opt_state, losses = self._train_batch(
                         self.params, self.opt_state, seqs, targets
                     )
-                # ONE device fetch for all level losses: per-float fetches
-                # cost one blocked relay round-trip each (n_levels per
-                # batch ~= 600ms of pure RTT at 20 levels)
-                level_losses = np.asarray(losses).astype(float).tolist()
-                epoch_losses.append(level_losses)
+                inflight.append(losses)
+                if len(inflight) >= 8:
+                    drain()
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
+                    if not epoch_losses:
+                        drain()
                     logger.info(
                         f"Epoch {epoch} iter {bi + 1}/{num_batches} "
-                        f"loss(last level): {level_losses[-1]:.4f}"
+                        f"loss(last level): {epoch_losses[-1][-1]:.4f}"
                     )
+            while inflight:
+                drain()
             ev = self.evaluate()
             logs.append(
                 {
