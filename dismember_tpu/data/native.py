@@ -123,11 +123,22 @@ def dr_greedy_select_native(
     n_rows, n_cand = cand_idx.shape
     if lib is None or n_cand > 64:
         return False
-    assert cand_idx.dtype == np.int64 and cand_idx.flags.c_contiguous
-    assert cand_scores.dtype == np.float64 and cand_scores.flags.c_contiguous
-    assert occ_rows.dtype == np.int64 and occ_rows.flags.c_contiguous
-    assert path_size.dtype == np.int64 and path_size.flags.c_contiguous
-    assert sel_idx.dtype == np.int64 and sel_idx.flags.c_contiguous
+    # The C function mutates path_size/sel_idx through raw pointers: a wrong
+    # dtype or non-contiguous layout would be silently misread/miswritten, so
+    # these must stay hard errors even under ``python -O`` (asserts strip).
+    for name, arr, want in (
+        ("cand_idx", cand_idx, np.int64),
+        ("cand_scores", cand_scores, np.float64),
+        ("occ_rows", occ_rows, np.int64),
+        ("path_size", path_size, np.int64),
+        ("sel_idx", sel_idx, np.int64),
+    ):
+        if arr.dtype != want or not arr.flags.c_contiguous:
+            raise TypeError(
+                f"dr_greedy_select_native: {name} must be C-contiguous "
+                f"{np.dtype(want).name}, got {arr.dtype}"
+                f"{'' if arr.flags.c_contiguous else ' (non-contiguous)'}"
+            )
     p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
     lib.dm_dr_greedy_select(
         n_rows, sel_idx.shape[1], n_cand, num_iteration,

@@ -430,8 +430,9 @@ def cooccurrence_embeddings(
     the same idea).
 
     Method: power-iterated random projection of the (target, seq-item)
-    co-occurrence operator — f <- row-normalize(C @ f) from a Gaussian
-    start.  Three iterations approximate the operator's top eigenspace
+    co-occurrence operator — f <- orthogonalize(C @ f) from a Gaussian
+    start.  Eight subspace iterations (the settled default below)
+    approximate the operator's top eigenspace
     (spectral clustering without materializing the [N, N] graph); k-means
     over f then groups items that co-occur, directly yielding
     genre-aligned splits on genre-structured data.  Cost: one edge-list

@@ -129,6 +129,14 @@ class GenericTreeLearner:
             self._score_params = self.params
         if self.weights_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown weights_mode {self.weights_mode!r}")
+        if self.weights_mode == "device" and self.mesh is not None:
+            # The device-resident accumulation runs single-device on the
+            # un-sharded self.params and would silently bypass the sharded
+            # _score_fn/_score_params built above.
+            raise ValueError(
+                "weights_mode='device' is single-chip only; with a mesh use "
+                "weights_mode='host' (sharded scoring) or 'auto'"
+            )
         # device-resident scoring is the default off-mesh: the host path
         # ships every score batch through the device link (3.6MB up + 1MB
         # down per 65536-row dispatch — measured 26ms device vs 6580ms

@@ -667,9 +667,13 @@ class OTMTrainer:
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
                     if not epoch_losses:
                         drain()
+                    # epoch_losses[-1] is the OLDEST drained batch (the FIFO
+                    # window holds up to 8 in flight) — label it with its
+                    # true batch index instead of claiming it is bi+1's.
                     logger.info(
                         f"Epoch {epoch} iter {bi + 1}/{num_batches} "
-                        f"loss(last level): {epoch_losses[-1][-1]:.4f}"
+                        f"loss(last level, batch {len(epoch_losses)}): "
+                        f"{epoch_losses[-1][-1]:.4f}"
                     )
             while inflight:
                 drain()

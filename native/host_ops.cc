@@ -582,6 +582,8 @@ extern "C" void dm_dr_greedy_select(
     int64_t* path_size,         // [n_keys] in/out
     int64_t* sel_idx,           // [n_rows, j_paths] in/out (-1 init)
     double penalty_factor, double q) {
+  if (n_cand > 64 || n_cand <= 0) return;  // use[64] below; callers must
+                                           // fall back for wider candidates
   std::vector<double> gains(n_cand);
   std::vector<int64_t> chosen(j_paths);
   const double neg_inf = -std::numeric_limits<double>::infinity();
