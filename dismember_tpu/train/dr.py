@@ -668,16 +668,61 @@ class DRTrainer:
         self.rerank_opt_state = (rest_opt, remb_pmv, wb_pmv)
         self._record_mirror_ids()
 
+    # -- step-level checkpoint state (train/step_resume.py) -------------
+    _MIRROR_KEYS = ("embedding", "softmax_w", "softmax_b")
+
+    def _step_state(self, key) -> dict:
+        """Loop-state pytree for within-stage snapshots.  In pmv mode the
+        packed p|m|v states inside the opt states own the tables, so the
+        [V, E] mirrors (layer/rerank embedding, softmax w/b) are excluded —
+        saving them would double the multi-GB snapshot."""
+        lp, rp = self.layer_params, self.rerank_params
+        if getattr(self, "_pmv", False):
+            lp = {k: v for k, v in lp.items() if k != "embedding"}
+            rp = {k: v for k, v in rp.items() if k not in self._MIRROR_KEYS}
+        return {
+            "layer_params": lp,
+            "layer_opt_state": self.layer_opt_state,
+            "rerank_params": rp,
+            "rerank_opt_state": self.rerank_opt_state,
+            "key": key,
+        }
+
+    def _restore_step_state(self, st: dict) -> None:
+        self.layer_opt_state = st["layer_opt_state"]
+        self.rerank_opt_state = st["rerank_opt_state"]
+        if getattr(self, "_pmv", False):
+            self.layer_params = dict(
+                st["layer_params"], embedding=self.layer_params["embedding"]
+            )
+            self.rerank_params = dict(
+                st["rerank_params"],
+                **{k: self.rerank_params[k] for k in self._MIRROR_KEYS},
+            )
+            self._mirrors_stale = True
+            self._record_mirror_ids()
+        else:
+            self.layer_params = st["layer_params"]
+            self.rerank_params = st["rerank_params"]
+
     # ------------------------------------------------------------------
     def train(
         self,
         num_epochs: int,
         progress_interval: int = 0,
         rerank_epochs: int | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> list[DREvalResult]:
         """``rerank_epochs`` mirrors the reference's ``reRankStoppingEpoch``
         (dr LocalOptimizer.scala:35-38,88-96): rerank training stops after
-        that many epochs while the layer model keeps training."""
+        that many epochs while the layer model keeps training.
+
+        ``checkpoint_path``/``checkpoint_every`` (in batches) enable
+        within-stage step-level snapshots with bit-compatible resume
+        (train/step_resume.py)."""
+        from dismember_tpu.train import step_resume
+
         self._adopt_mirrors()
         d = self.data
         n = len(d.train_seqs)
@@ -687,13 +732,31 @@ class DRTrainer:
         self.train_loss_log: list[dict] = []
         bsz = self.num_targets_per_batch
         rerank_stop = rerank_epochs if rerank_epochs is not None else num_epochs
-        for epoch in range(1, num_epochs + 1):
+        start_epoch, start_s = 1, 0
+        if checkpoint_path:
+            loaded = step_resume.load_step_state(
+                checkpoint_path, self._step_state(key)
+            )
+            if loaded is not None:
+                st, meta = loaded
+                self._restore_step_state(st)
+                key = jnp.asarray(st["key"])
+                step_resume.rng_state_from_json(rng, meta["rng_before_perm"])
+                start_epoch = int(meta["epoch"])
+                start_s = int(meta["s"]) + bsz
+                logger.info(
+                    f"resumed step checkpoint {checkpoint_path} at epoch "
+                    f"{start_epoch} offset {meta['s']}"
+                )
+        for epoch in range(start_epoch, num_epochs + 1):
+            rng_before_perm = step_resume.rng_state_to_json(rng)
             perm = rng.permutation(n)
             t0 = time.perf_counter()
             it = 0
             epoch_layer = np.zeros(self.num_layers)
             epoch_rerank = 0.0
-            for s in range(0, n, bsz):
+            s0, start_s = start_s, 0  # resume lands mid-epoch once
+            for s in range(s0, n, bsz):
                 idx = perm[s : s + bsz]
                 seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
                 targets = d.train_targets[idx]
@@ -717,6 +780,24 @@ class DRTrainer:
                 it += 1
                 epoch_layer += np.asarray(losses)
                 epoch_rerank += float(rloss)
+                if (
+                    checkpoint_path
+                    and checkpoint_every > 0
+                    and it % checkpoint_every == 0
+                    and s + bsz < n
+                ):
+                    step_resume.save_step_state(
+                        checkpoint_path,
+                        self._step_state(key),
+                        {
+                            "epoch": epoch,
+                            "s": s,
+                            "rng_before_perm": rng_before_perm,
+                        },
+                    )
+                    logger.info(
+                        f"step checkpoint saved at epoch {epoch} offset {s}"
+                    )
                 if progress_interval > 0 and it % progress_interval == 0:
                     ll = ", ".join(f"{float(x):.4f}" for x in losses)
                     logger.info(

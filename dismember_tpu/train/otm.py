@@ -607,20 +607,68 @@ class OTMTrainer:
         self._mirrors_stale = False
         self._record_mirror_id()
 
+    # -- step-level checkpoint state (train/step_resume.py) -------------
+    def _step_state(self) -> dict:
+        """Loop-state pytree for within-stage snapshots; the pmv embedding
+        MIRROR is excluded (the packed state in opt_state owns the table)."""
+        params = self.params
+        if self._pmv:
+            params = {k: v for k, v in params.items() if k != "embedding"}
+        return {"params": params, "opt_state": self.opt_state}
+
+    def _restore_step_state(self, st: dict) -> None:
+        self.opt_state = st["opt_state"]
+        if self._pmv:
+            self.params = dict(
+                st["params"], embedding=self.params["embedding"]
+            )
+            self._mirrors_stale = True
+            self._record_mirror_id()
+        else:
+            self.params = st["params"]
+
     # ------------------------------------------------------------------
-    def train(self, num_epochs: int, progress_interval: int = 0) -> list[dict]:
+    def train(
+        self,
+        num_epochs: int,
+        progress_interval: int = 0,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
+    ) -> list[dict]:
+        """``checkpoint_path``/``checkpoint_every`` (in batches) enable
+        within-stage step-level snapshots with bit-compatible resume — see
+        train/step_resume.py; the epoch a kill lands in resumes mid-epoch
+        (skipped batches' losses are absent from that epoch's log entry)."""
+        from dismember_tpu.train import step_resume
+
         d = self.data
         n = len(d.train_seqs)
         rng = np.random.default_rng(self.seed)
         logs: list[dict] = []
         self._adopt_mirrors()
+        start_epoch, start_bi = 1, 0
+        if checkpoint_path:
+            loaded = step_resume.load_step_state(
+                checkpoint_path, self._step_state()
+            )
+            if loaded is not None:
+                st, meta = loaded
+                self._restore_step_state(st)
+                step_resume.rng_state_from_json(rng, meta["rng_before_perm"])
+                start_epoch = int(meta["epoch"])
+                start_bi = int(meta["batch"]) + 1
+                logger.info(
+                    f"resumed step checkpoint {checkpoint_path} at epoch "
+                    f"{start_epoch} batch {meta['batch']}"
+                )
         if self.mesh is not None:
             from dismember_tpu.core.mesh import DATA_AXIS
 
             n_data = self.mesh.shape[DATA_AXIS]
         from collections import deque
 
-        for epoch in range(1, num_epochs + 1):
+        for epoch in range(start_epoch, num_epochs + 1):
+            rng_before_perm = step_resume.rng_state_to_json(rng)
             perm = rng.permutation(n)
             epoch_losses: list[list[float]] = []
             t0 = time.perf_counter()
@@ -639,7 +687,8 @@ class OTMTrainer:
                     np.asarray(inflight.popleft()).astype(float).tolist()
                 )
 
-            for bi in range(num_batches):
+            bi0, start_bi = start_bi, 0  # resume lands mid-epoch once
+            for bi in range(bi0, num_batches):
                 idx = perm[bi * self.train_batch_size : (bi + 1) * self.train_batch_size]
                 if self.mesh is not None and len(idx) % n_data:
                     # ragged epoch tail: SPMD batches must split over 'data'
@@ -664,6 +713,24 @@ class OTMTrainer:
                 inflight.append(losses)
                 if len(inflight) >= 8:
                     drain()
+                if (
+                    checkpoint_path
+                    and checkpoint_every > 0
+                    and (bi + 1) % checkpoint_every == 0
+                    and bi + 1 < num_batches
+                ):
+                    step_resume.save_step_state(
+                        checkpoint_path,
+                        self._step_state(),
+                        {
+                            "epoch": epoch,
+                            "batch": bi,
+                            "rng_before_perm": rng_before_perm,
+                        },
+                    )
+                    logger.info(
+                        f"step checkpoint saved at epoch {epoch} batch {bi + 1}"
+                    )
                 if progress_interval > 0 and (bi + 1) % progress_interval == 0:
                     if not epoch_losses:
                         drain()

@@ -467,22 +467,53 @@ class TDMTrainer:
         user_consumed: dict[int, np.ndarray] | None = None,
         progress_interval: int = 100,
         shuffle: bool = True,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> list[dict]:
-        """Run the training loop; returns per-progress-point logs."""
+        """Run the training loop; returns per-progress-point logs.
+
+        ``checkpoint_path`` + ``checkpoint_every`` enable within-stage
+        step-level snapshots (train/step_resume.py): every N iterations the
+        (params, opt state, PRNG cursors, position) tuple is persisted
+        atomically, and a restarted call with the same arguments resumes
+        bit-compatibly with an uninterrupted run (tests/test_step_resume.py).
+        The reference's OptimMethod.save (scalann OptimMethod.scala:28-33)
+        snapshots but never resumes."""
+        from dismember_tpu.train import step_resume
+
         self._adopt_mirrors()
         seq_codes_all = self.tree.ids_to_codes(train_seqs)
         target_codes_all = self.tree.ids_to_codes(train_targets)
         n = len(target_codes_all)
         bsz = self.num_targets_per_batch
         rng = np.random.default_rng(self.seed)
+        rng_before_perm = step_resume.rng_state_to_json(rng)
         perm = rng.permutation(n) if shuffle else np.arange(n)
         key = jax.random.PRNGKey(self.seed + 1)
+        start_it, pos = 1, 0
+        if checkpoint_path:
+            loaded = step_resume.load_step_state(
+                checkpoint_path, self._step_state(key)
+            )
+            if loaded is not None:
+                st, meta = loaded
+                self._restore_step_state(st)
+                key = jnp.asarray(st["key"])
+                step_resume.rng_state_from_json(rng, meta["rng_before_perm"])
+                rng_before_perm = step_resume.rng_state_to_json(rng)
+                perm = rng.permutation(n) if shuffle else np.arange(n)
+                pos = int(meta["pos"])
+                start_it = int(meta["iteration"]) + 1
+                logger.info(
+                    f"resumed step checkpoint {checkpoint_path} at iteration "
+                    f"{meta['iteration']} (pos {pos})"
+                )
 
         logs: list[dict] = []
-        pos = 0
         t_epoch = time.perf_counter()
-        for it in range(1, iterations + 1):
+        for it in range(start_it, iterations + 1):
             if pos + bsz > n:
+                rng_before_perm = step_resume.rng_state_to_json(rng)
                 perm = rng.permutation(n) if shuffle else np.arange(n)
                 pos = 0
             idx = perm[pos : pos + bsz]
@@ -526,8 +557,46 @@ class TDMTrainer:
                     msg += f"\n\tMetrics: {ev}"
                 logger.info(msg)
                 logs.append(entry)
+            if (
+                checkpoint_path
+                and checkpoint_every > 0
+                and it % checkpoint_every == 0
+                and it < iterations
+            ):
+                step_resume.save_step_state(
+                    checkpoint_path,
+                    self._step_state(key),
+                    {
+                        "iteration": it,
+                        "pos": pos,
+                        "rng_before_perm": rng_before_perm,
+                    },
+                )
+                logger.info(f"step checkpoint saved at iteration {it}")
         self._sync_mirrors()
         return logs
+
+    # -- step-level checkpoint state (train/step_resume.py) -------------
+    def _step_state(self, key) -> dict:
+        """Loop-state pytree for within-stage snapshots.  In pmv mode the
+        packed p|m|v state inside opt_state owns the table, so the [V, E]
+        embedding MIRROR is excluded (it re-materializes via _sync_mirrors;
+        saving it would double the multi-GB snapshot)."""
+        params = self.params
+        if self._pmv:
+            params = {k: v for k, v in params.items() if k != "embedding"}
+        return {"params": params, "opt_state": self.opt_state, "key": key}
+
+    def _restore_step_state(self, st: dict) -> None:
+        self.opt_state = st["opt_state"]
+        if self._pmv:
+            self.params = dict(
+                st["params"], embedding=self.params["embedding"]
+            )
+            self._mirrors_stale = True
+            self._record_mirror_id()
+        else:
+            self.params = st["params"]
 
     # ------------------------------------------------------------------
     def evaluate(
