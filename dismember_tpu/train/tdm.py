@@ -78,6 +78,39 @@ MATMUL_FIRST_SCORERS = frozenset({"din"})
 
 
 @dataclasses.dataclass
+class ResidentWindows:
+    """Compact sliding-window training set for ``train_resident``: the
+    [U, S] per-user item-code matrix uploads ONCE and every batch's windows
+    are gathered on device.  Logical row ``r`` of the [U * (t_hi - t_lo)]
+    dataset is user ``r // n_win`` at target position ``t = t_lo + r %
+    n_win``: sequence = items[u, t-L:t], target = items[u, t] — the
+    reference's TreeInit windowing (tdm TDMInit.scala) evaluated lazily on
+    device instead of materialized [N, L] on host.  At 10M-item scale this
+    is a ~120MB one-time upload instead of ~700MB of expanded windows
+    through the relay (CLAUDE.md transfer rates)."""
+
+    item_codes: np.ndarray  # [U, S] tree codes (int32)
+    seq_len: int
+    t_lo: int
+    t_hi: int
+
+    @classmethod
+    def from_items(cls, tree: ArrayTree, items: np.ndarray, seq_len: int,
+                   t_lo: int, t_hi: int) -> "ResidentWindows":
+        return cls(
+            item_codes=tree.ids_to_codes(items).astype(np.int32),
+            seq_len=seq_len, t_lo=t_lo, t_hi=t_hi,
+        )
+
+    @property
+    def n_win(self) -> int:
+        return self.t_hi - self.t_lo
+
+    def __len__(self) -> int:
+        return len(self.item_codes) * self.n_win
+
+
+@dataclasses.dataclass
 class TDMTrainer:
     tree: ArrayTree
     model_type: str = "din"
@@ -242,8 +275,7 @@ class TDMTrainer:
         optimizer = self.optimizer
         sampler_state = sampler.device_state()
 
-        @jax.jit
-        def step(params, opt_state, key, target_codes, seq_codes, sstate):
+        def step_impl(params, opt_state, key, target_codes, seq_codes, sstate):
             codes, labels, weights = sampler.sample(key, target_codes, sstate)
 
             def loss_fn(p):
@@ -255,6 +287,8 @@ class TDMTrainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, loss
 
+        self._step_impl = step_impl  # un-jitted: train_resident scans over it
+        step = jax.jit(step_impl)
         return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
 
     def _make_sparse_train_step(self):
@@ -280,8 +314,7 @@ class TDMTrainer:
         lr = self.learning_rate
         sampler_state = sampler.device_state()
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, target_codes, seq_codes, sstate):
+        def step_impl(params, opt_state, key, target_codes, seq_codes, sstate):
             rest_opt, emb_opt = opt_state
             codes, labels, weights = sampler.sample(key, target_codes, sstate)
             b, u = codes.shape
@@ -319,6 +352,8 @@ class TDMTrainer:
             new_params = dict(new_rest, embedding=new_table)
             return new_params, (new_rest_opt, new_emb_opt), loss
 
+        self._step_impl = step_impl  # un-jitted: train_resident scans over it
+        step = functools.partial(jax.jit, donate_argnums=(0, 1))(step_impl)
         return lambda p, o, k, tc, sc: step(p, o, k, tc, sc, sampler_state)
 
     def _make_pmv_train_step(self):
@@ -347,8 +382,7 @@ class TDMTrainer:
         e = self.embed_size
         sampler_state = sampler.device_state()
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(rest, opt_state, key, target_codes, seq_codes, sstate):
+        def step_impl(rest, opt_state, key, target_codes, seq_codes, sstate):
             rest_opt, emb_pmv = opt_state
             codes, labels, weights = sampler.sample(key, target_codes, sstate)
             b, u = codes.shape
@@ -380,6 +414,9 @@ class TDMTrainer:
             g_rows = g_rows * valid[:, None].astype(g_rows.dtype)
             new_emb_pmv = sparse_adam.pmv_apply_rows(emb_pmv, flat, g_rows, lr)
             return new_rest, (new_rest_opt, new_emb_pmv), loss
+
+        self._step_impl = step_impl  # un-jitted: train_resident scans over it
+        step = functools.partial(jax.jit, donate_argnums=(0, 1))(step_impl)
 
         def run(params, opt_state, key, target_codes, seq_codes):
             rest = {k: v for k, v in params.items() if k != "embedding"}
@@ -574,6 +611,204 @@ class TDMTrainer:
                 )
                 logger.info(f"step checkpoint saved at iteration {it}")
         self._sync_mirrors()
+        return logs
+
+    # ------------------------------------------------------------------
+    def _make_resident_run(self, windows_meta: tuple[int, int] | None):
+        """Jitted chunk runner for ``train_resident``: ``lax.scan`` over K
+        train steps with the dataset DEVICE-RESIDENT — each dispatch carries
+        only scalars (global step, epoch position), so the per-step relay
+        upload that dominates the host loop's wall time (28ms wall vs 2.6ms
+        device at 10M items) disappears.  ``windows_meta`` = (t_lo, n_win)
+        selects the on-device sliding-window gather (ResidentWindows);
+        None = flat (tc_all, sc_all) row gathers."""
+        import functools
+
+        impl = self._step_impl
+        b = self.num_targets_per_batch
+        seq_len = self.seq_len
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(carry_p, carry_o, dset, perm, sstate, base_key, gs0, pos0,
+                steps):
+            def body(carry, i):
+                p, o = carry
+                key = jax.random.fold_in(base_key, gs0 + i)
+                idx = jax.lax.dynamic_slice(perm, ((pos0 + i) * b,), (b,))
+                if windows_meta is not None:
+                    t_lo, n_win = windows_meta
+                    items = dset
+                    u = idx // n_win
+                    t = t_lo + idx % n_win
+                    cols = t[:, None] + jnp.arange(-seq_len, 0)[None, :]
+                    sc = items[u[:, None], cols]
+                    tc = items[u, t]
+                else:
+                    tc_all, sc_all = dset
+                    tc = tc_all[idx]
+                    sc = sc_all[idx]
+                p, o, loss = impl(p, o, key, tc, sc, sstate)
+                return (p, o), loss
+
+            (p, o), losses = jax.lax.scan(body, (carry_p, carry_o), steps)
+            return p, o, losses
+
+        return run
+
+    def train_resident(
+        self,
+        data,  # ResidentWindows | (train_seqs [N, L], train_targets [N])
+        iterations: int,
+        chunk: int = 64,
+        progress_interval: int = 1000,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
+    ) -> list[dict]:
+        """Device-resident training driver: upload the dataset once, then
+        drive the loop in ``chunk``-step ``lax.scan`` dispatches whose only
+        per-call payload is scalars — losses drain through a FIFO window so
+        the device runs chunk i+1 while the host reads chunk i.
+
+        Equivalent training to :meth:`train` (same step math; the batch
+        permutation and per-step PRNG keys come from counter-derived device
+        streams — ``fold_in(key, global_step)`` / per-epoch device
+        ``jax.random.permutation`` — instead of the host loop's split chain,
+        so the two drivers match in distribution, not bit-for-bit;
+        chunk-size choice IS bit-invariant, tests/test_resident.py).
+        Single-chip; mesh training keeps the host loop (spmd.py handles its
+        transfers).  Checkpoints (``checkpoint_every`` iterations, rounded
+        to chunk boundaries) need only (params, opt state, global step):
+        both streams are counter-derived, so resume is exact."""
+        from dismember_tpu.train import step_resume
+
+        if self.mesh is not None:
+            raise ValueError("train_resident is single-chip; use train()")
+        self._adopt_mirrors()
+        b = self.num_targets_per_batch
+        windows_meta = None
+        if isinstance(data, ResidentWindows):
+            n = len(data)
+            windows_meta = (data.t_lo, data.n_win)
+            dset = jnp.asarray(data.item_codes, jnp.int32)
+        else:
+            train_seqs, train_targets = data
+            n = len(train_targets)
+            dset = (
+                jnp.asarray(
+                    self.tree.ids_to_codes(train_targets), jnp.int32
+                ),
+                jnp.asarray(self.tree.ids_to_codes(train_seqs), jnp.int32),
+            )
+        steps_per_epoch = n // b
+        if steps_per_epoch < 1:
+            raise ValueError(f"dataset ({n} rows) smaller than one batch ({b})")
+        key_attr = "_resident_run_win" if windows_meta else "_resident_run_flat"
+        run = getattr(self, key_attr, None)
+        if run is None:
+            run = self._make_resident_run(windows_meta)
+            setattr(self, key_attr, run)
+        sstate = self.sampler.device_state()
+        base_key = jax.random.PRNGKey(self.seed + 1)
+        perm_key = jax.random.PRNGKey(self.seed + 3)
+        perm_fn = jax.jit(
+            lambda k: jax.random.permutation(k, steps_per_epoch * b)
+        )
+
+        if self._pmv:
+            carry_p = {k: v for k, v in self.params.items() if k != "embedding"}
+        else:
+            carry_p = self.params
+        carry_o = self.opt_state
+        gs = 0
+        if checkpoint_path:
+            loaded = step_resume.load_step_state(
+                checkpoint_path, {"params": carry_p, "opt_state": carry_o}
+            )
+            if loaded is not None:
+                st, meta = loaded
+                carry_p, carry_o = st["params"], st["opt_state"]
+                gs = int(meta["global_step"])
+                logger.info(
+                    f"resumed resident checkpoint {checkpoint_path} at "
+                    f"global step {gs}"
+                )
+
+        from collections import deque
+
+        steps_cache: dict[int, jnp.ndarray] = {}
+        fifo: deque = deque()
+        logs: list[dict] = []
+        cur_epoch, perm = -1, None
+        next_ckpt = (
+            (gs // checkpoint_every + 1) * checkpoint_every
+            if checkpoint_every > 0 else None
+        )
+        next_log = (gs // progress_interval + 1) * progress_interval
+        t0 = time.perf_counter()
+        gs_start = gs
+
+        def drain() -> None:
+            nonlocal next_log
+            g0, k, lo = fifo.popleft()
+            lo = np.asarray(lo)
+            if g0 + k >= next_log:
+                elapsed = time.perf_counter() - t0
+                rows_s = (g0 + k - gs_start) * b * self.sampler.unit / max(
+                    elapsed, 1e-9
+                )
+                entry = {
+                    "iteration": g0 + k,
+                    "train_loss": float(lo[-1]),
+                    "elapsed": elapsed,
+                    "expanded_rows_per_s": rows_s,
+                }
+                logger.info(
+                    f"Iteration {g0 + k} Train loss: {entry['train_loss']:.4f}, "
+                    f"{rows_s:,.0f} expanded rows/s (resident)"
+                )
+                logs.append(entry)
+                next_log = ((g0 + k) // progress_interval + 1) * progress_interval
+
+        while gs < iterations:
+            epoch = gs // steps_per_epoch
+            if epoch != cur_epoch:
+                perm = perm_fn(jax.random.fold_in(perm_key, epoch))
+                cur_epoch = epoch
+            pos0 = gs % steps_per_epoch
+            k = min(chunk, steps_per_epoch - pos0, iterations - gs)
+            if next_ckpt is not None:
+                k = min(k, next_ckpt - gs)
+            if k not in steps_cache:
+                steps_cache[k] = jnp.arange(k, dtype=jnp.int32)
+            carry_p, carry_o, losses = run(
+                carry_p, carry_o, dset, perm, sstate, base_key,
+                jnp.int32(gs), jnp.int32(pos0), steps_cache[k],
+            )
+            gs += k
+            fifo.append((gs - k, k, losses))
+            if len(fifo) >= 4:
+                drain()
+            if next_ckpt is not None and gs == next_ckpt:
+                while fifo:
+                    drain()
+                if gs < iterations:
+                    step_resume.save_step_state(
+                        checkpoint_path,
+                        {"params": carry_p, "opt_state": carry_o},
+                        {"global_step": gs},
+                    )
+                    logger.info(f"resident checkpoint saved at step {gs}")
+                next_ckpt += checkpoint_every
+        while fifo:
+            drain()
+        self.opt_state = carry_o
+        if self._pmv:
+            self.params = dict(carry_p, embedding=self.params["embedding"])
+            self._mirrors_stale = True
+            self._record_mirror_id()
+            self._sync_mirrors()
+        else:
+            self.params = carry_p
         return logs
 
     # -- step-level checkpoint state (train/step_resume.py) -------------

@@ -76,7 +76,7 @@ def gen_catalog(n_items, n_users, n_genres, seed=0):
     return (
         train_seqs.astype(np.int64), train_targets.astype(np.int64),
         eval_seqs.astype(np.int64), eval_labels.astype(np.int64),
-        eval_users, consumed,
+        eval_users, consumed, items,
     )
 
 
@@ -125,7 +125,8 @@ def run_tdm(args) -> None:
     from dismember_tpu.train.tdm import TDMTrainer
 
     (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
-     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+     consumed, items_mat) = gen_catalog(
+         args.items, args.users, args.genres, args.seed)
     n = args.items
     rng = np.random.default_rng(args.seed)
     ids = np.arange(1, n + 1, dtype=np.int64)
@@ -162,12 +163,34 @@ def run_tdm(args) -> None:
             seed=args.seed,
         ), tree
 
+    # resident driver: dataset device-resident, chunked lax.scan dispatches
+    # (train_resident) — at 10M items the host loop's per-step relay upload
+    # would dominate the wall (28ms wall vs 2.6ms device, CLAUDE.md)
+    t_lo, t_hi = SEQ_LEN, STREAM - EVAL_TAIL
+    use_resident = args.resident != "off" and (
+        args.resident == "on" or n >= 2_000_000
+    )
+
     def stage(name, trainer, iters):
+        from dismember_tpu.train.tdm import ResidentWindows
+
+        ckpt = os.path.join(args.ckpt_dir, name) if args.ckpt_dir else None
         t0 = time.perf_counter()
-        logs = trainer.train(
-            train_seqs, train_targets, iterations=iters,
-            progress_interval=max(iters // 8, 1),
-        )
+        if use_resident:
+            win = ResidentWindows.from_items(
+                trainer.tree, items_mat, SEQ_LEN, t_lo, t_hi
+            )
+            logs = trainer.train_resident(
+                win, iterations=iters, chunk=args.chunk,
+                progress_interval=max(iters // 8, 1),
+                checkpoint_path=ckpt, checkpoint_every=args.ckpt_every,
+            )
+        else:
+            logs = trainer.train(
+                train_seqs, train_targets, iterations=iters,
+                progress_interval=max(iters // 8, 1),
+                checkpoint_path=ckpt, checkpoint_every=args.ckpt_every,
+            )
         wall = time.perf_counter() - t0
         first, last = logs[0]["train_loss"], logs[-1]["train_loss"]
         t1 = time.perf_counter()
@@ -217,8 +240,15 @@ def run_tdm(args) -> None:
                 best[a] = c
         return float(sum(best.values())) / n
 
+    if args.skip_cluster:
+        # shortened 10M protocol (VERDICT r4 #2): one alternation stage —
+        # go straight to JTM tree learning off the stage-1 model
+        r2 = None
+        trainer2 = None
     t0 = time.perf_counter()
-    if args.cluster_features == "cooc":
+    if args.skip_cluster:
+        pass
+    elif args.cluster_features == "cooc":
         # round-4 fix: cluster on session co-occurrence statistics instead
         # of leaf embeddings (the r3 diagnosis root cause: 2-epoch leaf
         # embeddings carry no genre signal — purity 0.017-0.028 vs 0.747
@@ -232,17 +262,18 @@ def run_tdm(args) -> None:
         feats = np.asarray(trainer.params["embedding"])[
             tree.ids_to_codes(ids)
         ].astype(np.float32)
-    _, new_codes = tree_cluster(ids, feats, cluster_iter=5, seed=args.seed)
-    cluster_wall = time.perf_counter() - t0
-    print(json.dumps({
-        "stage": "tdm_recluster", "features": args.cluster_features,
-        "wall_s": round(cluster_wall, 1),
-        "purity": round(purity(new_codes), 4),
-        "purity_init": round(purity(codes0), 4),
-    }), flush=True)
+    if not args.skip_cluster:
+        _, new_codes = tree_cluster(ids, feats, cluster_iter=5, seed=args.seed)
+        cluster_wall = time.perf_counter() - t0
+        print(json.dumps({
+            "stage": "tdm_recluster", "features": args.cluster_features,
+            "wall_s": round(cluster_wall, 1),
+            "purity": round(purity(new_codes), 4),
+            "purity_init": round(purity(codes0), 4),
+        }), flush=True)
 
-    trainer2, _ = make_trainer(new_codes)
-    r2 = stage("tdm_retrain_clustered_tree", trainer2, args.iters)
+        trainer2, _ = make_trainer(new_codes)
+        r2 = stage("tdm_retrain_clustered_tree", trainer2, args.iters)
 
     if args.skip_jtm:
         print(json.dumps({
@@ -261,7 +292,9 @@ def run_tdm(args) -> None:
     # JTM off the near-random clustered tree gave 0.042 vs 0.062).
     from dismember_tpu.train.jtm import TreeLearner, write_projection_tree
 
-    base = trainer2 if r2 >= r1 else trainer
+    base = trainer2 if (r2 is not None and r2 >= r1) else trainer
+    if trainer2 is not None and base is not trainer2:
+        del trainer2  # release the losing stage's device buffers
     t0 = time.perf_counter()
     # weights_mode="host": one-shot sweep in the relay environment — the
     # device-resident path pays a ~300s per-process remote compile that the
@@ -290,12 +323,14 @@ def run_tdm(args) -> None:
         learning_rate=args.lr, total_batch_size=args.batch,
         layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=args.seed,
     )
+    del learner, base, trainer  # release earlier stages' device buffers
     r3 = stage("tdm_retrain_jtm_tree", trainer3, args.iters)
     print(json.dumps({
         "stage": "tdm_summary", "init": args.init,
         "recall_init_tree": round(r1, 5),
-        "recall_clustered": round(r2, 5), "recall_jtm": round(r3, 5),
-        "improved": bool(max(r2, r3) > r1),
+        "recall_clustered": None if r2 is None else round(r2, 5),
+        "recall_jtm": round(r3, 5),
+        "improved": bool(max(filter(None, [r2, r3])) > r1),
     }), flush=True)
 
 
@@ -310,7 +345,8 @@ def run_otm(args) -> None:
     from dismember_tpu.train.otm import OTMTrainer
 
     (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
-     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+     consumed, _items_mat) = gen_catalog(
+         args.items, args.users, args.genres, args.seed)
     n = args.items
     rng = np.random.default_rng(args.seed)
     ids = np.arange(1, n + 1, dtype=np.int64)
@@ -507,7 +543,8 @@ def run_dr(args) -> None:
     from dismember_tpu.train.dr_coordinate import coordinate_descent
 
     (train_seqs, train_targets, eval_seqs, eval_labels, eval_users,
-     consumed) = gen_catalog(args.items, args.users, args.genres, args.seed)
+     consumed, _items_mat) = gen_catalog(
+         args.items, args.users, args.genres, args.seed)
     # DR uses dense 0-based ids
     data = DRData(
         item_to_id={}, id_to_item={}, num_items=args.items,
@@ -635,6 +672,14 @@ def main() -> None:
     ap.add_argument("--cluster-features", default="embedding",
                     choices=["embedding", "cooc"])
     ap.add_argument("--skip-jtm", action="store_true")
+    ap.add_argument("--skip-cluster", action="store_true")  # 10M shortened
+    # protocol: one alternation stage (JTM) off the stage-1 model
+    ap.add_argument("--resident", default="auto",
+                    choices=["auto", "on", "off"])  # device-resident chunked
+    # train driver (train_resident); auto = on for >=2M-item catalogs
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--ckpt-dir", default=None)  # step-level resume snapshots
+    ap.add_argument("--ckpt-every", type=int, default=0)
     ap.add_argument("--otm-rows", type=int, default=1_200_000)
     ap.add_argument("--otm-epochs", type=int, default=2)
     ap.add_argument("--otm-total-batch", type=int, default=10240)
