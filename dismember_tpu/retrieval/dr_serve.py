@@ -133,8 +133,19 @@ def _build_block_table(
     path_items: np.ndarray,  # [n_paths, m] int32, -1 pad (host)
     item_lanes: int,
 ) -> tuple[jnp.ndarray, int]:
-    """Path-major bf16 serving table: row p = the m_pad items of path p,
-    each in an ``item_lanes``-lane slot (w | bias | id digits | valid).
+    """Path-major bf16 serving table in PLANE-MAJOR lane order: row p holds
+    ``item_lanes`` planes of ``m_pad`` lanes each — plane l carries lane l
+    of every item slot (planes 0..E-1 = weights, E = bias, E+1..E+4 = id
+    digits, E+5 = valid).
+
+    Plane-major (vs the r2-r4 slot-interleaved order) makes the consumer's
+    reshape [width] -> [item_lanes, m_pad] FREE (minor dim stays the
+    m_pad >= 128 tile), so per-field extraction is a plain plane slice and
+    scoring is one native bf16 MXU contraction over the lane axis — killing
+    the r4 roofline's [B, beam, width] bf16->f32 convert_multiply fusion
+    (1.35 ms/batch), the three one-hot selector einsums, and the 6-pass
+    HIGHEST-precision f32 dot (VERDICT r4 weak #1).  The gather itself is
+    unchanged: rows are the same contiguous bytes.
 
     Returns (table [n_paths, m_pad*item_lanes], m_pad).  Built in donated
     chunks: one fused build program peaks ~3x its output (CLAUDE.md), and
@@ -164,9 +175,10 @@ def _build_block_table(
         lanes = jnp.concatenate(
             [rows, bias, digits.astype(jnp.bfloat16),
              valid.astype(jnp.bfloat16), pad], axis=1,
-        )
+        )  # [cs*m_pad, item_lanes]
+        planes = lanes.reshape(-1, m_pad, item_lanes).transpose(0, 2, 1)
         return jax.lax.dynamic_update_slice(
-            buf, lanes.reshape(-1, width), (start, 0)
+            buf, planes.reshape(-1, width), (start, 0)
         )
 
     buf = jnp.zeros((n_paths, width), jnp.bfloat16)
@@ -334,83 +346,48 @@ def make_dr_serving_fn(
     return fn
 
 
-def _block_selectors(e: int, item_lanes: int, m_pad: int):
-    """Static lane-selection matmul matrices for block rows.
-
-    Per-slot extraction as one-hot lane matmuls on the FULL-width rows:
-    reshaping the gathered blocks to [B, beam, m_pad, item_lanes] pads the
-    32-lane minor dim to the 128-lane tile — a 4x-blown copy + reshape worth
-    4.4 of 14.7 ms/batch at 10M items (xplane).  A [width, m_pad] selection
-    matmul is ~6G bf16 MACs — MXU noise.  Digit and bias lanes hold exact
-    bf16 integers <= 255, so the bf16 dot is exact (the CLAUDE.md
-    one-hot-contraction quantization hazard starts above 255)."""
-    width = m_pad * item_lanes
-    slot_sum = np.zeros((width, m_pad), np.float32)  # sums a slot's lanes
-    bias_sel = np.zeros((width, m_pad), np.float32)
-    valid_sel = np.zeros((width, m_pad), np.float32)
-    digit_sel = np.zeros((_ID_DIGITS, width, m_pad), np.float32)
-    for i in range(m_pad):
-        base = i * item_lanes
-        slot_sum[base : base + e, i] = 1.0
-        bias_sel[base + e, i] = 1.0
-        valid_sel[base + e + 1 + _ID_DIGITS, i] = 1.0
-        for d in range(_ID_DIGITS):
-            digit_sel[d, base + e + 1 + d, i] = 1.0
-    return {
-        "slot_sum": jnp.asarray(slot_sum, jnp.bfloat16),
-        "bias_sel": jnp.asarray(bias_sel, jnp.bfloat16),
-        "valid_sel": jnp.asarray(valid_sel, jnp.bfloat16),
-        "digit_sel": jnp.asarray(digit_sel, jnp.bfloat16),
-    }
-
-
 def _score_blocks_topk(
-    blocks,  # [B, beam, width] bf16 gathered block rows
+    blocks,  # [B, beam, width] bf16 gathered PLANE-MAJOR block rows
     path_ok,  # [B, beam] bool
     user_vec,  # [B, E] f32
     consumed,  # [B, C] int32 or None
-    sels: dict,
     e: int,
     item_lanes: int,
     m_pad: int,
     k: int,
     j_paths: int,
 ):
-    """Score + dedup + top-k over gathered block rows (shared by the
-    single-device and the sharded serving paths)."""
-    from dismember_tpu.retrieval.packed_beam import _decode_id_digits
+    """Score + dedup + top-k over gathered plane-major block rows (shared by
+    the single-device and the sharded serving paths).
+
+    The plane-major layout makes [width] -> [item_lanes, m_pad] a FREE
+    reshape (minor dim stays >= the 128-lane tile), so bias / id digits /
+    valid are plain plane slices and the score is ONE bf16 MXU contraction
+    over the lane axis — the user vector pads with exact zeros on the
+    non-weight planes, so they contribute nothing.  Arithmetic matches the
+    item-major packed path: one bf16 rounding of the stored weight, one of
+    the user operand (the MXU rounds matmul operands to bf16 either way),
+    f32 accumulation.  The r2-r4 selector-matmul pipeline this replaces
+    paid a [B, beam, width] bf16->f32 convert_multiply (1.35 ms/batch at
+    10M items) plus a 6-pass HIGHEST f32 dot (VERDICT r4 weak #1)."""
     from dismember_tpu.retrieval.tree_beam import onehot_select
 
     b, beam = path_ok.shape
-    # per-slot values via the static lane-selection matmuls: bias / id
-    # digits / valid are exact one-hot picks; the score sum rides the zero
-    # lanes of the padded user row
-    bias = jnp.einsum("bpw,wm->bpm", blocks, sels["bias_sel"]).astype(
-        jnp.float32
-    )
-    vlane = jnp.einsum("bpw,wm->bpm", blocks, sels["valid_sel"])
-    digits = jnp.stack(
-        [
-            jnp.einsum("bpw,wm->bpm", blocks, sels["digit_sel"][d])
-            for d in range(_ID_DIGITS)
-        ],
-        axis=-1,
-    )
-    ids = _decode_id_digits(digits, _ID_BASE)  # [B, beam, m_pad] int32
-    valid = (vlane > 0) & path_ok[:, :, None]
-
-    user_wide = jnp.tile(
-        jnp.pad(user_vec, ((0, 0), (0, item_lanes - e))), (1, m_pad)
-    )  # [B, width] f32; zero on non-weight lanes
-    # f32 products + HIGHEST slot-sum keep per-term rounding identical
-    # to the item-major path (one bf16 rounding, of the stored weight);
-    # the matmul is ~6G MACs, so the 3-pass cost is noise
+    planes = blocks.reshape(b, beam, item_lanes, m_pad)
+    user_pad = jnp.pad(
+        user_vec.astype(jnp.bfloat16), ((0, 0), (0, item_lanes - e))
+    )  # [B, item_lanes]; exact zeros beyond the weight planes
     scores = jnp.einsum(
-        "bpw,wm->bpm",
-        blocks.astype(jnp.float32) * user_wide[:, None, :],
-        sels["slot_sum"].astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        "bplm,bl->bpm", planes, user_pad,
+        preferred_element_type=jnp.float32,
     )
+    bias = planes[:, :, e, :].astype(jnp.float32)
+    # id digits are exact bf16 integers <= 255 per plane; combine in int32
+    # (the CLAUDE.md quantization hazard starts above 255 — never floats)
+    ids = planes[:, :, e + 1, :].astype(jnp.int32)
+    for d in range(1, _ID_DIGITS):
+        ids = ids * _ID_BASE + planes[:, :, e + 1 + d, :].astype(jnp.int32)
+    valid = (planes[:, :, e + 1 + _ID_DIGITS, :] > 0) & path_ok[:, :, None]
 
     c = beam * m_pad
     cand = jnp.where(valid, ids, -1).reshape(b, c)
@@ -471,7 +448,6 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         np.asarray(dmap.path_items),
         item_lanes,
     )
-    sels = _block_selectors(e, item_lanes, m_pad)
 
     # the block table and path_table are jit ARGUMENTS for the same reason
     # packed_wb is: closure-captured device arrays become HLO literal
@@ -488,7 +464,7 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, width]
         user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
         return _score_blocks_topk(
-            blocks, path_ok, user_vec, consumed, sels,
+            blocks, path_ok, user_vec, consumed,
             e, item_lanes, m_pad, k, j_paths,
         )
 

@@ -389,7 +389,6 @@ def make_sharded_dr_serving_fn(
     from dismember_tpu.retrieval.dr_serve import (
         DevicePathMap,
         _block_item_lanes,
-        _block_selectors,
         _build_block_table,
         _score_blocks_topk,
         path_keys_and_dedup,
@@ -452,11 +451,10 @@ def make_sharded_dr_serving_fn(
     block_tab = jax.device_put(block_tab, rowsh)
     ps = (n_paths + padp) // n_model
     path_table = jax.device_put(dmap.path_table, rep)
-    sels = jax.device_put(_block_selectors(e, item_lanes, m_pad), rep)
     l_seq = int(trainer.data.train_seqs.shape[1])
 
     def serve_impl(seq_tab_s, node_tab, heads_p, rer_tab_s, linear_p,
-                   block_s, ptab, sels_p, seqs, consumed):
+                   block_s, ptab, seqs, consumed):
         b = seqs.shape[0]
         flat = seqs.reshape(-1)
         valid = flat >= 0
@@ -491,7 +489,7 @@ def make_sharded_dr_serving_fn(
             + linear_p["bias"]
         )
         return _score_blocks_topk(
-            blocks, path_ok, user_vec, consumed, sels_p,
+            blocks, path_ok, user_vec, consumed,
             e, item_lanes, m_pad, k, j_paths,
         )
 
@@ -505,7 +503,6 @@ def make_sharded_dr_serving_fn(
             P(MODEL_AXIS, None),
             jax.tree.map(lambda _: P(), trainer.rerank_params["linear"]),
             P(MODEL_AXIS, None), rep_spec,
-            jax.tree.map(lambda _: P(), sels),
             P(DATA_AXIS, None), P(DATA_AXIS, None),
         ),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
@@ -518,7 +515,7 @@ def make_sharded_dr_serving_fn(
             consumed = jnp.full((seqs.shape[0], 1), -1, jnp.int32)
         return jitted(
             seq_table, node_table, heads, rerank_table, linear,
-            block_tab, path_table, sels, seqs, consumed,
+            block_tab, path_table, seqs, consumed,
         )
 
     return fn
