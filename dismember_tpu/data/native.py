@@ -104,6 +104,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64),   # sel_idx (in/out)
             ctypes.c_double, ctypes.c_double,
         ]
+        lib.dm_cooc_apply.restype = None
+        lib.dm_cooc_apply.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),  # starts [n_seg]
+            ctypes.POINTER(ctypes.c_int64),  # segs [n_seg]
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),  # src [n_edges]
+            ctypes.POINTER(ctypes.c_float),  # wn [n_edges]
+            ctypes.POINTER(ctypes.c_float),  # f [n_items, dim]
+            ctypes.POINTER(ctypes.c_float),  # g [n_items, dim] (out)
+        ]
         _lib = lib
         return _lib
 
@@ -146,6 +157,41 @@ def dr_greedy_select_native(
         p(occ_rows, ctypes.c_int64), p(path_size, ctypes.c_int64),
         p(sel_idx, ctypes.c_int64),
         float(penalty_factor), float(q),
+    )
+    return True
+
+
+def cooc_apply_native(
+    starts: np.ndarray, segs: np.ndarray, src: np.ndarray,
+    wn: np.ndarray, f: np.ndarray, g: np.ndarray,
+    n_threads: int | None = None,
+) -> bool:
+    """Threaded co-occurrence operator pass g[dst] += f[src] * wn
+    (native/host_ops.cc dm_cooc_apply), numerically equivalent to the numpy
+    reduceat form (numpy sums pairwise, this sums sequentially — ~1ulp
+    drift, immaterial ahead of the QR + k-means consumers).  Mutates ``g`` in place; returns False to fall back to the
+    numpy path when the library is unavailable."""
+    import os
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    for name, arr, want in (
+        ("starts", starts, np.int64), ("segs", segs, np.int64),
+        ("src", src, np.int64), ("wn", wn, np.float32),
+        ("f", f, np.float32), ("g", g, np.float32),
+    ):
+        if arr.dtype != want or not arr.flags.c_contiguous:
+            raise TypeError(
+                f"cooc_apply_native: {name} must be C-contiguous "
+                f"{np.dtype(want).name}, got {arr.dtype}"
+            )
+    p = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    lib.dm_cooc_apply(
+        len(segs), f.shape[1], n_threads or os.cpu_count() or 1,
+        p(starts, ctypes.c_int64), p(segs, ctypes.c_int64),
+        len(src), p(src, ctypes.c_int64), p(wn, ctypes.c_float),
+        p(f, ctypes.c_float), p(g, ctypes.c_float),
     )
     return True
 

@@ -473,19 +473,35 @@ def cooccurrence_embeddings(
     segs = dst[starts]
     deg = np.zeros(num_items, np.float32)
     np.add.at(deg, dst, w)
-    wn = (w / (np.sqrt(deg[src]) * np.sqrt(deg[dst]) + 1e-12))[:, None]
+    wn_flat = (w / (np.sqrt(deg[src]) * np.sqrt(deg[dst]) + 1e-12)).astype(
+        np.float32
+    )
+    wn = wn_flat[:, None]
     touched = np.zeros(num_items, bool)
     touched[segs] = True
+    from dismember_tpu.data.native import cooc_apply_native
+
     for _ in range(n_iters):
         g = np.zeros_like(f)
-        g[segs] = np.add.reduceat(f[src] * wn, starts, axis=0)
-        # column orthonormalization via reduced QR (subspace iteration);
-        # robust to rank deficiency, unlike Cholesky whitening, and
-        # O(N * dim^2) — ~2s/iter at 1M x 32
-        q, _r = np.linalg.qr(g.astype(np.float64))
-        if q.shape[1] < dim:  # num_items < dim: reduced QR truncates
-            q = np.pad(q, ((0, 0), (0, dim - q.shape[1])))
-        g = (q * np.sqrt(num_items)).astype(np.float32)
+        # threaded native pass (r5: the numpy form — a [E, dim] product
+        # materialization + scalar-loop reduceat — dominated the 1M cooc
+        # stage at ~1300s; bit-identical fallback kept below)
+        if not cooc_apply_native(starts, segs, src, wn_flat, f, g):
+            g[segs] = np.add.reduceat(f[src] * wn, starts, axis=0)
+        # column orthonormalization via the Gram matrix (symmetric /
+        # Loewdin orthogonalization): two thin matmuls + a [dim, dim] eigh
+        # instead of a tall QR (11.5s/iter at 1M x 32; this is ~1.5s).
+        # Subspace iteration is basis-invariant and k-means + the final row
+        # normalization are rotation-invariant, so swapping QR's Q for
+        # Q @ O changes nothing downstream; near-null directions are
+        # clamped (the rank-deficiency case reduced QR handled).
+        g64 = g.astype(np.float64)
+        lam, vec = np.linalg.eigh(g64.T @ g64)
+        lam_max = max(float(lam[-1]), 1e-30)
+        inv = 1.0 / np.sqrt(np.maximum(lam, 1e-12 * lam_max))
+        g = (g64 @ ((vec * inv) @ vec.T) * np.sqrt(num_items)).astype(
+            np.float32
+        )
         f = np.where(touched[:, None], g, f)
     return f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
 

@@ -648,3 +648,63 @@ extern "C" void dm_dr_greedy_select(
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Co-occurrence operator apply for spectral cluster features
+// (index/cluster.cooccurrence_embeddings).  One power-iteration pass
+// g[dst] += f[src] * wn over the dst-sorted deduped edge list.  The numpy
+// form (f[src] * wn materializes an [E, dim] array, np.add.reduceat runs a
+// scalar inner loop) dominated the 1M-item cooc stage at ~1300s; here the
+// dst-sorted segments give each thread a DISJOINT output range, so the pass
+// is embarrassingly parallel with no atomics and is bound by the random
+// reads of f (cache-missing row gathers).
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+extern "C" void dm_cooc_apply(
+    int64_t n_seg, int64_t dim, int64_t n_threads,
+    const int64_t* starts,  // [n_seg] first edge of each dst segment
+    const int64_t* segs,    // [n_seg] dst row per segment
+    int64_t n_edges,
+    const int64_t* src,     // [n_edges] source row per edge
+    const float* wn,        // [n_edges] normalized edge weight
+    const float* f,         // [n_items, dim] input features
+    float* g) {             // [n_items, dim] output (zeroed rows written)
+  if (n_seg <= 0) return;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  // split SEGMENTS (not edges) so each thread's output rows are disjoint;
+  // balance by cumulative edge count
+  std::vector<int64_t> bounds(n_threads + 1, n_seg);
+  bounds[0] = 0;
+  for (int64_t t = 1; t < n_threads; ++t) {
+    int64_t target = n_edges * t / n_threads;
+    // first segment whose start >= target
+    int64_t lo = bounds[t - 1], hi = n_seg;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (starts[mid] < target) lo = mid + 1; else hi = mid;
+    }
+    bounds[t] = lo;
+  }
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t e0 = starts[s];
+      const int64_t e1 = (s + 1 < n_seg) ? starts[s + 1] : n_edges;
+      float* out = g + segs[s] * dim;
+      for (int64_t e = e0; e < e1; ++e) {
+        const float* row = f + src[e] * dim;
+        const float w = wn[e];
+        for (int64_t d = 0; d < dim; ++d) out[d] += row[d] * w;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    work(0, n_seg);
+    return;
+  }
+  for (int64_t t = 0; t < n_threads; ++t)
+    pool.emplace_back(work, bounds[t], bounds[t + 1]);
+  for (auto& th : pool) th.join();
+}

@@ -89,3 +89,32 @@ def test_parse_speed_sanity(lib, example_csv):
     dt = time.perf_counter() - t0
     assert got is not None and len(got[0]) == 100000
     assert dt < 1.0, f"native CSV parse too slow: {dt:.2f}s"
+
+
+def test_cooc_apply_matches_numpy(lib):
+    """dm_cooc_apply matches the numpy reduceat form to float tolerance
+    (numpy sums pairwise, the native loop sequentially — order differs, so
+    ~1ulp-scale drift is expected and immaterial: the features feed k-means
+    after a QR orthonormalization)."""
+    import numpy as np
+
+    from dismember_tpu.data.native import cooc_apply_native
+
+    rng = np.random.default_rng(3)
+    n_items, dim, n_edges = 500, 16, 20_000
+    dst = np.sort(rng.integers(0, n_items, n_edges))
+    src = rng.integers(0, n_items, n_edges)
+    wn = rng.random(n_edges, dtype=np.float32)
+    f = rng.standard_normal((n_items, dim), dtype=np.float32)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(dst)) + 1])
+    segs = dst[starts]
+
+    ref = np.zeros_like(f)
+    ref[segs] = np.add.reduceat(f[src] * wn[:, None], starts, axis=0)
+
+    for threads in (1, 4):
+        got = np.zeros_like(f)
+        assert cooc_apply_native(
+            starts, segs, src.astype(np.int64), wn, f, got, n_threads=threads
+        )
+        np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-5)
