@@ -363,6 +363,61 @@ def dr_deep_catalog_bench() -> None:
     )
 
 
+def index_learning_bench() -> None:
+    """Driver-visible index-learning row (VERDICT r4 weak #6): streaming
+    coordinate descent (collect + native greedy) at a 100k-item catalog,
+    400k training rows — the DR M-step end to end (beam search dispatch
+    pipeline, path aggregation, C++ greedy J-path selection).  Wall-clock is
+    the right metric here: the M-step is a whole multi-minute host+device
+    pipeline, not a single dispatch (CLAUDE.md measurement rules).  Match:
+    deep-retrieval/.../optim/CoordinateDescent.scala."""
+    import time as _time
+
+    import jax.numpy as jnp  # noqa: F401  (device init before timing)
+
+    from dismember_tpu.data.dr_dataset import DRData
+    from dismember_tpu.train.dr import DRTrainer
+    from dismember_tpu.train.dr_coordinate import coordinate_descent
+
+    n, rows = 100_000, 400_000
+    rng = np.random.default_rng(0)
+    data = DRData(
+        item_to_id={}, id_to_item={}, num_items=n,
+        train_seqs=rng.integers(0, n, size=(rows, 10)).astype(np.int64),
+        train_targets=rng.integers(0, n, size=rows).astype(np.int64),
+        eval_seqs=np.empty((0, 10), np.int64),
+        eval_labels=np.empty((0, 1), np.int64),
+        eval_users=np.empty((0,), np.int64), user_consumed={},
+    )
+    trainer = DRTrainer(
+        data, num_layers=3, num_nodes=100, num_paths_per_item=2,
+        embed_size=16, train_batch_size=8192, num_sampled=8, seed=0,
+    )
+    t0 = _time.perf_counter()
+    coordinate_descent(
+        trainer, data.train_seqs, data.train_targets,
+        num_candidate_path=20, batch_size=8192, mode="streaming", seed=0,
+    )
+    wall = _time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "dr_coordinate_descent_streaming_wall_s_100k_items",
+                "value": round(wall, 1),
+                "unit": "seconds (100k items, 400k rows, beam collect + native greedy; wall incl. compile)",
+                # round-5 first measurement is the baseline for later rounds
+                "vs_baseline": round(R05_CD_STREAM_WALL_100K / max(wall, 1e-9), 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+# round-5 measured wall for the index-learning row (see BASELINE.md); later
+# rounds' vs_baseline = baseline_wall / measured_wall (>1 = faster).
+R05_CD_STREAM_WALL_100K = 65.0
+
+
 def _preflight(timeout_s: float = 180.0) -> None:
     """Fail fast with a JSON error line if the device tunnel is dead.
 
@@ -492,7 +547,8 @@ if __name__ == "__main__":
     # transient failure must not cost the driver the remaining rows.
     if os.environ.get("DISMEMBER_BENCH_DEEP", "1") != "0":
         for section in (
-            deep_catalog_bench, otm_deep_catalog_bench, dr_deep_catalog_bench
+            deep_catalog_bench, otm_deep_catalog_bench,
+            dr_deep_catalog_bench, index_learning_bench,
         ):
             try:
                 section()

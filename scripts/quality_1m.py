@@ -215,6 +215,8 @@ def run_tdm(args) -> None:
 
     trainer, tree = make_trainer(codes0)
     r1 = stage(f"tdm_train_{args.init}_tree", trainer, args.iters)
+    trainer.opt_state = None  # mirrors are synced; free the packed/moment
+    # state (~17GB at 10M items) — each stage trains from scratch
 
     # re-cluster the tree from the learned leaf embeddings; genre purity of
     # the level-ceil(log2(G)) subtrees diagnoses cluster quality (items are
@@ -318,12 +320,14 @@ def run_tdm(args) -> None:
         round(time.perf_counter() - t0, 1),
         "purity": round(purity(jtm_codes), 4),
     }), flush=True)
+    # release earlier stages' device buffers (the packed p|m|v state is
+    # ~17GB at 10M items) BEFORE the retrain stage allocates its own
+    del learner, base, trainer
     trainer3 = TDMTrainer(
         tree=tree3, model_type="din", embed_size=args.embed,
         learning_rate=args.lr, total_batch_size=args.batch,
         layer_neg_counts=neg_counts, topk=10, beam_size=20, seed=args.seed,
     )
-    del learner, base, trainer  # release earlier stages' device buffers
     r3 = stage("tdm_retrain_jtm_tree", trainer3, args.iters)
     print(json.dumps({
         "stage": "tdm_summary", "init": args.init,
