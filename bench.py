@@ -307,6 +307,11 @@ def dr_deep_catalog_bench() -> None:
     key = jax.random.PRNGKey(1)
 
     def estep_thunk():
+        # fused single-dispatch E-step (r5) — the path train() runs in pmv
+        # mode; falls back to the two-dispatch form otherwise
+        if getattr(trainer, "_estep_pmv", None):
+            _losses, rloss = trainer._estep_fused(key, seqs, paths, labels)
+            return rloss
         trainer.layer_params, trainer.layer_opt_state, losses = (
             trainer._layer_step(
                 trainer.layer_params, trainer.layer_opt_state, seqs, paths

@@ -214,6 +214,14 @@ class DRTrainer:
             )
             self._layer_step = self._layer_step_pmv_wrap
             self._rerank_step = self._rerank_step_pmv_wrap
+            # fused E-step: layer + rerank in ONE dispatch (VERDICT r4 #5)
+            # — same math as the two separate steps (it literally composes
+            # the two impls, tests/test_dr.py::test_fused_estep_matches),
+            # but XLA schedules the two models' gathers/matmuls together
+            # and the per-dispatch fixed overhead is paid once
+            self._estep_pmv = jax.jit(
+                self._estep_pmv_impl, donate_argnums=(0, 1, 2, 3)
+            )
             # chunked + internally jitted (donated buffers) — do not re-jit:
             # a whole-table one-shot program OOMs at 10M items (CLAUDE.md)
             self._pmv_unpack = sparse_adam.pmv_unpack
@@ -560,6 +568,45 @@ class DRTrainer:
         )
         return new_rest, (new_rest_opt, new_emb_pmv, new_wb_pmv), loss
 
+    def _estep_pmv_impl(
+        self, heads_params, layer_opt, rest, rerank_opt, key, seqs, paths,
+        labels,
+    ):
+        """One-dispatch E-step: the layer and rerank pmv steps composed
+        verbatim (identical math and state updates to calling them
+        separately)."""
+        new_heads, new_layer_opt, losses = self._layer_step_pmv_impl(
+            heads_params, layer_opt, seqs, paths
+        )
+        new_rest, new_rerank_opt, rloss = self._rerank_step_pmv_impl(
+            rest, rerank_opt, key, seqs, labels
+        )
+        return new_heads, new_layer_opt, new_rest, new_rerank_opt, losses, rloss
+
+    def _estep_fused(self, key, seqs, paths, labels):
+        """Run the fused E-step, updating trainer state in place; returns
+        (layer losses, rerank loss).  Single-chip pmv mode only."""
+        new_heads, new_layer_opt, new_rest, new_rerank_opt, losses, rloss = (
+            self._estep_pmv(
+                {"heads": self.layer_params["heads"]},
+                self.layer_opt_state,
+                {"linear": self.rerank_params["linear"]},
+                self.rerank_opt_state,
+                key, seqs, paths, labels,
+            )
+        )
+        self._mirrors_stale = True
+        self.layer_params = {
+            "embedding": self.layer_params["embedding"],
+            "heads": new_heads["heads"],
+        }
+        self.layer_opt_state = new_layer_opt
+        self.rerank_params = dict(
+            self.rerank_params, linear=new_rest["linear"]
+        )
+        self.rerank_opt_state = new_rerank_opt
+        return losses, rloss
+
     def _rerank_step_pmv_wrap(self, params, opt_state, key, seqs, labels):
         rest = {"linear": params["linear"]}
         new_rest, new_opt, loss = self._rerank_step_pmv(
@@ -761,10 +808,20 @@ class DRTrainer:
                 seqs = jnp.asarray(d.train_seqs[idx], jnp.int32)
                 targets = d.train_targets[idx]
                 paths = jnp.asarray(self.path_index.item_paths[targets], jnp.int32)
-                self.layer_params, self.layer_opt_state, losses = self._layer_step(
-                    self.layer_params, self.layer_opt_state, seqs, paths
-                )
-                if epoch <= rerank_stop:
+                if epoch <= rerank_stop and getattr(self, "_estep_pmv", None):
+                    # fused single-dispatch E-step (same math — composes the
+                    # two impls; one dispatch instead of two)
+                    key, sub = jax.random.split(key)
+                    losses, rloss = self._estep_fused(
+                        sub, seqs, paths, jnp.asarray(targets, jnp.int32)
+                    )
+                elif epoch <= rerank_stop:
+                    self.layer_params, self.layer_opt_state, losses = (
+                        self._layer_step(
+                            self.layer_params, self.layer_opt_state, seqs,
+                            paths,
+                        )
+                    )
                     key, sub = jax.random.split(key)
                     self.rerank_params, self.rerank_opt_state, rloss = (
                         self._rerank_step(
@@ -776,6 +833,12 @@ class DRTrainer:
                         )
                     )
                 else:
+                    self.layer_params, self.layer_opt_state, losses = (
+                        self._layer_step(
+                            self.layer_params, self.layer_opt_state, seqs,
+                            paths,
+                        )
+                    )
                     rloss = float("nan")
                 it += 1
                 epoch_layer += np.asarray(losses)

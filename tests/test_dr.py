@@ -633,3 +633,51 @@ def test_native_greedy_matches_python(dr_data):
             idx_nat.item_paths, idx_py.item_paths,
             err_msg=f"mode={mode}",
         )
+
+
+def test_fused_estep_matches_separate(dr_data):
+    """The fused single-dispatch E-step composes the layer and rerank pmv
+    impls verbatim — state after N batches must be bit-identical to the
+    separate two-dispatch path."""
+    import jax
+    import jax.numpy as jnp
+
+    d = dr_data
+    kw = dict(
+        num_layers=3, num_nodes=20, num_paths_per_item=2, embed_size=8,
+        train_batch_size=128, num_sampled=4, seed=3,
+        sparse_embed_update=True,  # forces the pmv path at this small scale
+    )
+    a = DRTrainer(d, **kw)
+    b = DRTrainer(d, **kw)
+    assert getattr(a, "_pmv", False) and getattr(a, "_estep_pmv", None)
+    key = jax.random.PRNGKey(9)
+    seqs = jnp.asarray(d.train_seqs[:64], jnp.int32)
+    targets = d.train_targets[:64]
+    paths = jnp.asarray(a.path_index.item_paths[targets], jnp.int32)
+    tj = jnp.asarray(targets, jnp.int32)
+    for i in range(3):
+        sub = jax.random.fold_in(key, i)
+        la, ra = a._estep_fused(sub, seqs, paths, tj)
+        b.layer_params, b.layer_opt_state, lb = b._layer_step(
+            b.layer_params, b.layer_opt_state, seqs, paths
+        )
+        b.rerank_params, b.rerank_opt_state, rb = b._rerank_step(
+            b.rerank_params, b.rerank_opt_state, sub, seqs, tj
+        )
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+    a._sync_mirrors()
+    b._sync_mirrors()
+    for ka in ("embedding", "heads"):
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a.layer_params[ka]),
+            jax.tree_util.tree_leaves(b.layer_params[ka]),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for ka in ("embedding", "linear", "softmax_w", "softmax_b"):
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a.rerank_params[ka]),
+            jax.tree_util.tree_leaves(b.rerank_params[ka]),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
