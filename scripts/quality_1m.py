@@ -22,10 +22,16 @@ Usage:
 
 import argparse
 import json
+import logging
 import os
 import sys
 import tempfile
 import time
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(name)s %(message)s",
+)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
