@@ -188,6 +188,11 @@ def dr_estep_10m():
     key = jax.random.PRNGKey(1)
 
     def thunk():
+        # fused single-dispatch E-step (r5) when available — the form
+        # train() actually runs in pmv mode
+        if getattr(trainer, "_estep_pmv", None):
+            _losses, r = trainer._estep_fused(key, seqs, paths, labels)
+            return r
         trainer.layer_params, trainer.layer_opt_state, _ = (
             trainer._layer_step(
                 trainer.layer_params, trainer.layer_opt_state, seqs, paths
