@@ -360,11 +360,26 @@ class GenericTreeLearner:
         weights: np.ndarray,  # [len(node_items), 2^d]
         old_codes: np.ndarray,  # old ancestor (at `level`) per item position
         max_assign: int,
+        no_evidence: np.ndarray | None = None,  # [len(node_items)] bool
     ) -> dict[int, list[int]]:
         """Greedy capacity rebalance (TreeLearning.reBalance:217-265).
 
         Returns candidate code -> item positions."""
         order = np.argsort(-weights, axis=1, kind="stable")  # per item: cands desc
+        # zero-training-row items carry no evidence (their rows are flat
+        # _LOW_WEIGHT ties): the stable argsort would claim candidate 0 for
+        # all of them; claim their OLD node first instead, matching
+        # optimize()'s keep-old override (r5 — the scramble cost -23%
+        # recall at 10M with a 12%-coverage row subset).  Keyed on the
+        # caller-supplied evidence mask, NOT on value flatness: f32
+        # accumulation can tie rows the f64 host path distinguishes, and a
+        # value-keyed reorder would break host/device projection parity.
+        if no_evidence is not None:
+            for r in np.flatnonzero(no_evidence):
+                jo = np.flatnonzero(candidates == old_codes[node_items[r]])
+                if len(jo):
+                    j = jo[0]
+                    order[r] = np.concatenate(([j], order[r][order[r] != j]))
         assign: dict[int, list[tuple[int, float, int]]] = {}
         for r, pos in enumerate(node_items):
             j = order[r, 0]
@@ -384,8 +399,13 @@ class GenericTreeLearner:
                 break
             processed.add(best_node)
             entries = assign[best_node]
+            # keep items whose OLD ancestor is this node first (reference
+            # reBalance's stay preference); old_codes is indexed by ITEM
+            # POSITION (t[0]) — indexing it by the segment-local row
+            # (row_of_pos[pos]) read unrelated items' old codes and made
+            # the preference noise (r5 fix)
             entries.sort(
-                key=lambda t: (old_codes[row_of_pos[t[0]]] != best_node, -t[1])
+                key=lambda t: (old_codes[t[0]] != best_node, -t[1])
             )
             assign[best_node] = entries[:max_assign]
             for pos, _w, next_idx in entries[max_assign:]:
@@ -424,6 +444,25 @@ class GenericTreeLearner:
             old_codes = self._old_ancestors_at_level(level)
             max_assign = 1 << (max_level - level)
             n_cand = 1 << d
+
+            # items with NO training rows carry no score evidence (every
+            # candidate ties at _LOW_WEIGHT) and the argmax would dump them
+            # all on candidate 0, scrambling their neighborhoods; keep them
+            # under their OLD tree's ancestor instead (valid whenever that
+            # ancestor lies inside the item's current candidate subtree —
+            # always, while the item keeps following its old path).
+            # Measured at 10M items with a 2M-row subset (12% window
+            # coverage): the flat-tie argmax cost the JTM retrain stage
+            # -23% recall vs its pre-JTM stage (BASELINE.md r5 row); the
+            # reference never faces this — it learns over the full train
+            # set or not at all (TreeLearning.scala:94-150).
+            has_rows = self._has_rows()
+            if not has_rows.all():
+                j_old = old_codes - (
+                    proj.astype(np.int64) * n_cand + (n_cand - 1)
+                )
+                keep = (~has_rows) & (j_old >= 0) & (j_old < n_cand)
+                choice_j = np.where(keep, j_old, choice_j)
 
             # vectorized fast path: every item takes its argmax candidate
             # (== rebalance's first greedy pick — stable-descending order[.,0]);
@@ -476,6 +515,7 @@ class GenericTreeLearner:
                         seg_rows,
                         old_codes,
                         max_assign,
+                        no_evidence=~has_rows[node_items],
                     )
                     for child, positions in balanced.items():
                         assert len(positions) <= max_assign

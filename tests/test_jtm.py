@@ -166,8 +166,11 @@ def test_fastpath_matches_full_greedy():
         return StubLearner(
             params={}, forward=None, max_level=max_level,
             items=np.arange(n_items), item_old_codes=leaf_codes,
-            rows_codes=np.zeros((0, 4), np.int64),
-            row_item_pos=np.zeros(0, np.int64), gap=gap,
+            # one row per item: every item has evidence, so the zero-row
+            # keep-old-position override stays out of this fast-vs-greedy
+            # equivalence check (compute_weights is stubbed anyway)
+            rows_codes=np.zeros((n_items, 4), np.int64),
+            row_item_pos=np.arange(n_items, dtype=np.int64), gap=gap,
         )
 
     leaf_codes = (1 << max_level) - 1 + rng.permutation(n_items)
@@ -237,4 +240,39 @@ def test_device_weights_hierarchical(setup):
     w_h = host.compute_weights(proj0, 0, 3)
     w_d = dev.compute_weights(proj0, 0, 3)
     np.testing.assert_allclose(w_d, w_h, rtol=1e-5, atol=1e-5)
-    assert host.optimize() == dev.optimize()
+    # the device path accumulates in f32, the host path in f64: genuine
+    # near-ties may argmax differently, so projection parity is near-exact,
+    # not bit-exact (observed: 2 of 120 items swapping two sibling leaves)
+    ph, pd = host.optimize(), dev.optimize()
+    diff = [k for k in ph if ph[k] != pd[k]]
+    assert len(diff) <= max(2, len(ph) // 50), (len(diff), diff[:6])
+
+
+def test_zero_row_items_keep_old_positions(setup):
+    """Items with no training rows carry no score evidence; the sweep must
+    keep them under their OLD tree position instead of dumping the flat-tie
+    argmax on candidate 0 (measured -23% at 10M with a 12%-coverage row
+    subset, BASELINE.md r5)."""
+    tree, params, train_seqs, train_targets = setup
+    # rows mentioning only a handful of target items
+    seqs = train_seqs[:16]
+    targets = train_targets[:16]
+    learner = TreeLearner(
+        tree=tree, params=params, forward=din.forward,
+        train_seqs=seqs, train_targets=targets, gap=2,
+    )
+    proj = learner.optimize()
+    covered = set(int(t) for t in targets) | set(
+        int(x) for x in seqs.reshape(-1) if x > 0
+    )
+    moved = kept = 0
+    for iid, code in zip(tree.item_ids, tree.item_codes):
+        if int(iid) in covered:
+            continue
+        if proj[int(iid)] == int(code):
+            kept += 1
+        else:
+            moved += 1
+    # uncovered items keep their exact old leaf codes (rebalance may evict
+    # a few if covered items pile into their subtree — allow a small tail)
+    assert kept > 0 and moved <= max(2, kept // 20), (kept, moved)
