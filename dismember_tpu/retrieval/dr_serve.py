@@ -198,6 +198,56 @@ def _build_block_table(
     return buf, m_pad
 
 
+def pack_path_table(path_table: jnp.ndarray) -> jnp.ndarray:
+    """[S] int32 -> [ceil(S/128), 128] rows (-1 pad).
+
+    A 1-D gather from the dense [K^D] path table stages the WHOLE table
+    through scalar memory every call — measured 4.88 ms/batch for the [1M]
+    table at the 10M-item config (scripts/profile_dr_serve.py), the single
+    largest op on the serving critical path.  A 128-lane row gather plus an
+    int32 one-hot lane select (exact VPU math) replaces it at ~0.8 ms."""
+    s = int(path_table.shape[0])
+    pad = (-s) % 128
+    return jnp.pad(path_table, (0, pad), constant_values=-1).reshape(-1, 128)
+
+
+def lookup_path_rows(ptab2d: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
+    """rows[...] = flat_path_table[keys] via 2-D row gather + lane select."""
+    rows2 = ptab2d[keys // 128]  # [..., 128]
+    lane = keys % 128
+    oh = (lane[..., None] == jnp.arange(128, dtype=keys.dtype)).astype(
+        rows2.dtype
+    )
+    return (rows2 * oh).sum(-1)
+
+
+def _build_seq_pack(layer_emb: jnp.ndarray, rerank_emb: jnp.ndarray):
+    """[V(+nodes), E] layer + [V, E] rerank item embeddings -> one
+    [V, 2E] bf16 serving table (lanes 0:E layer, E:2E rerank).
+
+    The serve batch's two biggest non-block gathers were the seq-side
+    f32 [10M, 16] row gathers (0.92 + 0.85 ms/batch, xplane — XLA laid
+    the f32 tables out column-major, so each 64-byte row cost 16 strided
+    reads).  One bf16 2E-lane gather replaces both; both consumers are
+    matmul-first (head matmuls / the rerank linear), so bf16 rounding
+    matches what the MXU does to the operands anyway."""
+    import functools
+
+    v = int(rerank_emb.shape[0])
+    e = int(rerank_emb.shape[1])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, le, re_):
+        buf = jax.lax.dynamic_update_slice(buf, le.astype(jnp.bfloat16), (0, 0))
+        return jax.lax.dynamic_update_slice(
+            buf, re_.astype(jnp.bfloat16), (0, e)
+        )
+
+    return fill(
+        jnp.zeros((v, 2 * e), jnp.bfloat16), layer_emb[:v], rerank_emb
+    )
+
+
 def _train_frequency_priority(trainer) -> np.ndarray | None:
     """Per-item training-target counts as the truncation priority for
     ``DevicePathMap.build`` (None when the trainer carries no data)."""
@@ -291,8 +341,10 @@ def make_dr_serving_fn(
     # lowering" + a compile that never finished through the relay; and after
     # coordinate descent widened path_items to [n_paths, 128] at 1M items,
     # a ~400MB literal made the relay reject the compile with HTTP 413)
+    ptab2d = pack_path_table(dmap.path_table)
+
     @jax.jit
-    def run(layer_params, rerank_params, packed_wb, path_table, path_items,
+    def run(layer_params, rerank_params, packed_wb, ptab2d, path_items,
             seqs, consumed=None):
         b = seqs.shape[0]
         paths, _probs = path_beam_search(
@@ -302,7 +354,7 @@ def make_dr_serving_fn(
         keys = jnp.zeros(paths.shape[:2], jnp.int32)
         for d in range(num_layers):
             keys = keys * num_nodes + paths[:, :, d]
-        rows = path_table[keys]  # [B, beam]
+        rows = lookup_path_rows(ptab2d, keys)  # [B, beam]
         cand = jnp.where(
             (rows >= 0)[:, :, None], path_items[jnp.maximum(rows, 0)], -1
         ).reshape(b, beam * m)
@@ -337,17 +389,18 @@ def make_dr_serving_fn(
         return top_items, top_scores
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        return run(layer_params, rerank_params, packed_wb, dmap.path_table,
+        return run(layer_params, rerank_params, packed_wb, ptab2d,
                    dmap.path_items, seqs, consumed)
 
     fn._run = run  # introspection hook for the no-baked-literal test
     fn._dmap = dmap
     fn._packed_wb = packed_wb
+    fn._ptab2d = ptab2d
     return fn
 
 
 def _score_blocks_topk(
-    blocks,  # [B, beam, width] bf16 gathered PLANE-MAJOR block rows
+    blocks,  # [B*beam, width] bf16 gathered PLANE-MAJOR block rows (2-D!)
     path_ok,  # [B, beam] bool
     user_vec,  # [B, E] f32
     consumed,  # [B, C] int32 or None
@@ -360,43 +413,59 @@ def _score_blocks_topk(
     """Score + dedup + top-k over gathered plane-major block rows (shared by
     the single-device and the sharded serving paths).
 
-    The plane-major layout makes [width] -> [item_lanes, m_pad] a FREE
-    reshape (minor dim stays >= the 128-lane tile), so bias / id digits /
-    valid are plain plane slices and the score is ONE bf16 MXU contraction
-    over the lane axis — the user vector pads with exact zeros on the
-    non-weight planes, so they contribute nothing.  Arithmetic matches the
-    item-major packed path: one bf16 rounding of the stored weight, one of
-    the user operand (the MXU rounds matmul operands to bf16 either way),
-    f32 accumulation.  The r2-r4 selector-matmul pipeline this replaces
-    paid a [B, beam, width] bf16->f32 convert_multiply (1.35 ms/batch at
-    10M items) plus a 6-pass HIGHEST f32 dot (VERDICT r4 weak #1)."""
+    Plane-major rows put each field at a CONTIGUOUS minor-dim slice
+    (plane l spans lanes [l*m_pad, (l+1)*m_pad)), so bias / id digits /
+    valid extraction is a plain slice of the gathered 2-D rows — no
+    reshape.  Everything wide stays 2-D [B*beam, width]: any
+    [B, beam, width] view materializes physically (the (beam, width)
+    minor split/merge crosses the (8,128) tile whenever m_pad < 128 —
+    measured 0.86 + 0.86 ms of reshape pairs per 10M-item batch when
+    only the matmul operand was flattened, scripts/profile_dr_serve.py).
+    The score contraction is E fused VPU multiply-adds over the weight-
+    plane slices (scores[t, m] = sum_l plane_l[t, m] * user[b(t), l]):
+    with only E=16 terms the MXU buys nothing, and every matmul
+    formulation tried made XLA materialize a relayout of the 251MB
+    operand (r5 profiles: einsum over a [B, beam, l, m] view — 1.56 +
+    1.43 ms reshape+copy; flat 2-D matmul against a tile(eye) plane-sum
+    matrix — 0.84 reshape + 0.77 copy + 0.42 broadcast).  The slice
+    chain reads ONLY the weight planes.  Arithmetic: stored weight and
+    user operand round to bf16 (as the MXU rounds matmul operands),
+    products and accumulation in f32 — the same class as the item-major
+    packed path.  The r2-r4 selector-matmul pipeline this replaces paid
+    a [B, beam, width] bf16->f32 convert_multiply (1.35 ms/batch at 10M
+    items) plus a 6-pass HIGHEST f32 dot (VERDICT r4 weak #1)."""
     from dismember_tpu.retrieval.tree_beam import onehot_select
 
     b, beam = path_ok.shape
-    planes = blocks.reshape(b, beam, item_lanes, m_pad)
-    user_pad = jnp.pad(
-        user_vec.astype(jnp.bfloat16), ((0, 0), (0, item_lanes - e))
-    )  # [B, item_lanes]; exact zeros beyond the weight planes
-    scores = jnp.einsum(
-        "bplm,bl->bpm", planes, user_pad,
-        preferred_element_type=jnp.float32,
-    )
-    bias = planes[:, :, e, :].astype(jnp.float32)
+    t = b * beam
+
+    def plane(l):  # [T, m_pad] bf16 slice of plane l
+        return jax.lax.slice_in_dim(blocks, l * m_pad, (l + 1) * m_pad, axis=1)
+
+    # user coefficient for plane l, replicated across the beam: [T, 1]
+    ub = jnp.broadcast_to(
+        user_vec.astype(jnp.bfloat16)[:, None, :], (b, beam, e)
+    ).reshape(t, e)
+    scores = plane(0).astype(jnp.float32) * ub[:, 0:1].astype(jnp.float32)
+    for l in range(1, e):
+        scores += plane(l).astype(jnp.float32) * ub[:, l : l + 1].astype(
+            jnp.float32
+        )  # [T, m_pad]
+
+    bias = plane(e).astype(jnp.float32)
     # id digits are exact bf16 integers <= 255 per plane; combine in int32
     # (the CLAUDE.md quantization hazard starts above 255 — never floats)
-    ids = planes[:, :, e + 1, :].astype(jnp.int32)
+    ids = plane(e + 1).astype(jnp.int32)
     for d in range(1, _ID_DIGITS):
-        ids = ids * _ID_BASE + planes[:, :, e + 1 + d, :].astype(jnp.int32)
-    valid = (planes[:, :, e + 1 + _ID_DIGITS, :] > 0) & path_ok[:, :, None]
+        ids = ids * _ID_BASE + plane(e + 1 + d).astype(jnp.int32)
+    valid = (plane(e + 1 + _ID_DIGITS) > 0) & path_ok.reshape(t)[:, None]
 
     c = beam * m_pad
     cand = jnp.where(valid, ids, -1).reshape(b, c)
     ok = valid.reshape(b, c)
     if consumed is not None:
         ok &= ~(cand[:, :, None] == consumed[:, None, :]).any(-1)
-    scores = jnp.where(
-        ok, scores.reshape(b, c) + bias.reshape(b, c), _NEG_INF
-    )
+    scores = jnp.where(ok, (scores + bias).reshape(b, c), _NEG_INF)
 
     # items appear on at most J paths, so top-(k*J) holds >= k unique items
     kj = min(c, max(k, k * j_paths))
@@ -448,31 +517,54 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         np.asarray(dmap.path_items),
         item_lanes,
     )
+    ptab2d = pack_path_table(dmap.path_table)
+    seq_pack = _build_seq_pack(
+        trainer.layer_params["embedding"], trainer.rerank_params["embedding"]
+    )
 
-    # the block table and path_table are jit ARGUMENTS for the same reason
+    # the block/seq/path tables are jit ARGUMENTS for the same reason
     # packed_wb is: closure-captured device arrays become HLO literal
     # constants (multi-GB for the table; [K^D] for the path map)
     @jax.jit
-    def run(layer_params, rerank_params, block_tab, path_table, seqs,
-            consumed=None):
+    def run(layer_params, rerank_params, block_tab, ptab2d,
+            seq_pack, seqs, consumed=None):
+        b, l_seq = seqs.shape
+        # one bf16 [V, 2E] gather feeds both the layer heads' seq parts and
+        # the rerank user vector (see _build_seq_pack)
+        svalid = seqs != -1
+        srows = seq_pack[jnp.where(svalid, seqs, 0)] * svalid[
+            :, :, None
+        ].astype(seq_pack.dtype)  # [B, L, 2E]
+        layer_flat = srows[:, :, :e].reshape(b, l_seq * e)
+        seq_parts = [
+            layer_flat @ h["weight"][:, : l_seq * e].T
+            for h in layer_params["heads"]
+        ]
+        rerank_flat = srows[:, :, e:].reshape(b, l_seq * e)
+        user_vec = (
+            rerank_flat @ rerank_params["linear"]["weight"].T
+            + rerank_params["linear"]["bias"]
+        )  # [B, E]
         paths, _probs = path_beam_search(
-            layer_params, seqs, beam, num_items, num_nodes, num_layers
+            layer_params, seqs, beam, num_items, num_nodes, num_layers,
+            seq_parts=seq_parts,
         )  # [B, beam, D]
         keys, first = path_keys_and_dedup(paths, num_nodes)
-        rows = path_table[keys]  # [B, beam]
+        rows = lookup_path_rows(ptab2d, keys)  # [B, beam]
         path_ok = (rows >= 0) & first
-        blocks = block_tab[jnp.maximum(rows, 0)]  # [B, beam, width]
-        user_vec = rerank_user_vector(rerank_params, seqs)  # [B, E]
+        blocks = block_tab[jnp.maximum(rows, 0).reshape(-1)]  # [B*beam, width]
         return _score_blocks_topk(
             blocks, path_ok, user_vec, consumed,
             e, item_lanes, m_pad, k, j_paths,
         )
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        return run(layer_params, rerank_params, block_tab, dmap.path_table,
-                   seqs, consumed)
+        return run(layer_params, rerank_params, block_tab, ptab2d,
+                   seq_pack, seqs, consumed)
 
     fn._run = run
     fn._dmap = dmap
     fn._block_tab = block_tab
+    fn._ptab2d = ptab2d
+    fn._seq_pack = seq_pack
     return fn

@@ -390,7 +390,10 @@ def make_sharded_dr_serving_fn(
         DevicePathMap,
         _block_item_lanes,
         _build_block_table,
+        _build_seq_pack,
         _score_blocks_topk,
+        lookup_path_rows,
+        pack_path_table,
         path_keys_and_dedup,
     )
     from dismember_tpu.retrieval.path_beam import path_beam_search
@@ -421,20 +424,16 @@ def make_sharded_dr_serving_fn(
     rowsh = NamedSharding(mesh, P(MODEL_AXIS, None))
 
     # --- sharded tables (values frozen from the synced mirrors) ----------
+    # one bf16 [V, 2E] row-sharded table feeds both the layer seq parts and
+    # the rerank user vector — same table (and same bf16 rounding) as the
+    # single-device block path (_build_seq_pack), half the gather bytes of
+    # the two f32 tables it replaces
     lt = trainer.layer_params["embedding"]
-    seq_table = lt[:num_items]  # item rows feed only the seq contribution
+    sp = _build_seq_pack(lt, trainer.rerank_params["embedding"])
     pad1 = (-num_items) % n_model
-    seq_table = jax.device_put(
-        jnp.pad(seq_table, ((0, pad1), (0, 0))), rowsh
-    )
-    vs1 = (num_items + pad1) // n_model
+    seq_table = jax.device_put(jnp.pad(sp, ((0, pad1), (0, 0))), rowsh)
     node_table = jax.device_put(lt[num_items:], rep)  # K*(D-1) rows, tiny
     heads = jax.device_put(trainer.layer_params["heads"], rep)
-
-    rt = trainer.rerank_params["embedding"]
-    pad2 = (-num_items) % n_model
-    rerank_table = jax.device_put(jnp.pad(rt, ((0, pad2), (0, 0))), rowsh)
-    vs2 = (num_items + pad2) // n_model
     linear = jax.device_put(trainer.rerank_params["linear"], rep)
 
     block_tab, m_pad = _build_block_table(
@@ -450,18 +449,19 @@ def make_sharded_dr_serving_fn(
         block_tab = jnp.pad(block_tab, ((0, padp), (0, 0)))
     block_tab = jax.device_put(block_tab, rowsh)
     ps = (n_paths + padp) // n_model
-    path_table = jax.device_put(dmap.path_table, rep)
+    path_table = jax.device_put(pack_path_table(dmap.path_table), rep)
     l_seq = int(trainer.data.train_seqs.shape[1])
 
-    def serve_impl(seq_tab_s, node_tab, heads_p, rer_tab_s, linear_p,
+    def serve_impl(seq_tab_s, node_tab, heads_p, linear_p,
                    block_s, ptab, seqs, consumed):
         b = seqs.shape[0]
         flat = seqs.reshape(-1)
         valid = flat >= 0
         safe = jnp.where(valid, flat, 0)
-        # per-layer seq contributions from the sharded item table
-        seq_rows = gather_rows_sharded(seq_tab_s, safe, valid)
-        seq_flat = seq_rows.reshape(b, l_seq * e)
+        # ONE gather from the sharded bf16 [V, 2E] pack feeds the layer seq
+        # parts (lanes :e) and the rerank user vector (lanes e:)
+        srows = gather_rows_sharded(seq_tab_s, safe, valid)  # [b*l, 2E]
+        seq_flat = srows[:, :e].reshape(b, l_seq * e)
         seq_parts = [
             seq_flat @ h["weight"][:, : l_seq * e].T for h in heads_p
         ]
@@ -471,21 +471,22 @@ def make_sharded_dr_serving_fn(
             seq_parts=seq_parts,
         )
         keys, first = path_keys_and_dedup(paths, num_nodes)
-        rows = ptab[keys]  # [b, beam]
+        rows = lookup_path_rows(ptab, keys)  # [b, beam]
         path_ok = (rows >= 0) & first
 
-        # distributed block-row gather (bf16; one owner per row + zeros)
+        # distributed block-row gather (bf16; one owner per row + zeros);
+        # kept 2-D [b*beam, width] — 3-D views of block rows materialize
+        # physically whenever m_pad < the 128-lane tile (dr_serve notes)
         off = jax.lax.axis_index(MODEL_AXIS) * ps
         loc = rows - off
         mine = (loc >= 0) & (loc < ps) & (rows >= 0)
-        blocks = block_s[jnp.where(mine, loc, 0)]
-        blocks = blocks * mine[:, :, None].astype(blocks.dtype)
+        blocks = block_s[jnp.where(mine, loc, 0).reshape(-1)]
+        blocks = blocks * mine.reshape(-1)[:, None].astype(blocks.dtype)
         blocks = jax.lax.psum(blocks, MODEL_AXIS)
 
-        # user vector from the sharded rerank table
-        rrows = gather_rows_sharded(rer_tab_s, safe, valid)
+        # user vector from the same packed gather
         user_vec = (
-            rrows.reshape(b, l_seq * e) @ linear_p["weight"].T
+            srows[:, e:].reshape(b, l_seq * e) @ linear_p["weight"].T
             + linear_p["bias"]
         )
         return _score_blocks_topk(
@@ -500,7 +501,6 @@ def make_sharded_dr_serving_fn(
         in_specs=(
             P(MODEL_AXIS, None), rep_spec,
             jax.tree.map(lambda _: P(), trainer.layer_params["heads"]),
-            P(MODEL_AXIS, None),
             jax.tree.map(lambda _: P(), trainer.rerank_params["linear"]),
             P(MODEL_AXIS, None), rep_spec,
             P(DATA_AXIS, None), P(DATA_AXIS, None),
@@ -514,7 +514,7 @@ def make_sharded_dr_serving_fn(
         if consumed is None:
             consumed = jnp.full((seqs.shape[0], 1), -1, jnp.int32)
         return jitted(
-            seq_table, node_table, heads, rerank_table, linear,
+            seq_table, node_table, heads, linear,
             block_tab, path_table, seqs, consumed,
         )
 

@@ -125,12 +125,14 @@ def test_serving_hlo_has_no_baked_path_map(trained, mode):
     seqs = jnp.zeros((4, tr.data.train_seqs.shape[1]), jnp.int32)
     if mode == "packed":
         ex = (tr.layer_params, tr.rerank_params, fn._packed_wb,
-              fn._dmap.path_table, fn._dmap.path_items, seqs)
-        tables = (fn._packed_wb, fn._dmap.path_table, fn._dmap.path_items)
+              fn._ptab2d, fn._dmap.path_items, seqs)
+        tables = (fn._packed_wb, fn._ptab2d, fn._dmap.path_table,
+                  fn._dmap.path_items)
     else:
         ex = (tr.layer_params, tr.rerank_params, fn._block_tab,
-              fn._dmap.path_table, seqs)
-        tables = (fn._block_tab, fn._dmap.path_table, fn._dmap.path_items)
+              fn._ptab2d, fn._seq_pack, seqs)
+        tables = (fn._block_tab, fn._ptab2d, fn._seq_pack,
+                  fn._dmap.path_table, fn._dmap.path_items)
     closed = jax.make_jaxpr(fn._run.__wrapped__)(*ex)
     catalog_shapes = {tuple(t.shape) for t in tables}
     baked = [
