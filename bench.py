@@ -420,7 +420,7 @@ def index_learning_bench() -> None:
 
 # round-5 measured wall for the index-learning row (see BASELINE.md); later
 # rounds' vs_baseline = baseline_wall / measured_wall (>1 = faster).
-R05_CD_STREAM_WALL_100K = 65.0
+R05_CD_STREAM_WALL_100K = 92.3
 
 
 def _preflight(timeout_s: float = 180.0) -> None:
