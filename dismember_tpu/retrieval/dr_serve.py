@@ -117,48 +117,63 @@ def _pack_rerank_table(softmax_w: jnp.ndarray, softmax_b: jnp.ndarray):
     return fill(jnp.zeros((n, 128), jnp.bfloat16), softmax_w, softmax_b)
 
 
-def _block_item_lanes(e: int) -> int | None:
-    """Smallest power-of-two lane stride holding one item's payload:
-    e weight lanes | bias | _ID_DIGITS id digits | valid flag."""
+def _block_geometry(e: int, m: int) -> tuple[int, int] | None:
+    """(planes, m_pad) minimizing row width for one item payload of
+    ``used = e + 1 + _ID_DIGITS + 1`` planes (weights | bias | id digits |
+    valid) and ``m`` item slots per path.
+
+    Constraint: width = planes * m_pad must be a multiple of the 128-lane
+    tile (otherwise every row straddles tiles and the table pads 128/width
+    -fold in HBM).  Power-of-two plane counts (the r2-r4 rule: 32 lanes at
+    E=16) waste 10 of 32 planes as zero padding that every gather still
+    reads — 25% of the block bytes at the 10M bench config.  Searching all
+    plane counts >= used finds e.g. planes=24, m_pad=48 (width 1152 vs
+    1536) for E=16, m<=48."""
+    import math
+
     used = e + 1 + _ID_DIGITS + 1
-    for lanes in (32, 64, 128):
-        if used <= lanes:
-            return lanes
-    return None
+    if used > 128:
+        return None
+    best = None
+    for p in range(used, 129):
+        q = 128 // math.gcd(p, 128)  # m_pad granularity for width % 128 == 0
+        m_pad = -(-m // q) * q
+        width = p * m_pad
+        if best is None or width < best[0]:
+            best = (width, p, m_pad)
+    return (best[1], best[2]) if best else None
 
 
 def _build_block_table(
     softmax_w: jnp.ndarray,  # [N, E] f32 (device)
     softmax_b: jnp.ndarray,  # [N] f32 (device)
     path_items: np.ndarray,  # [n_paths, m] int32, -1 pad (host)
-    item_lanes: int,
-) -> tuple[jnp.ndarray, int]:
+    planes_n: int,
+    m_pad: int,
+) -> jnp.ndarray:
     """Path-major bf16 serving table in PLANE-MAJOR lane order: row p holds
-    ``item_lanes`` planes of ``m_pad`` lanes each — plane l carries lane l
+    ``planes_n`` planes of ``m_pad`` lanes each — plane l carries lane l
     of every item slot (planes 0..E-1 = weights, E = bias, E+1..E+4 = id
-    digits, E+5 = valid).
+    digits, E+5 = valid; any remaining planes are zero pad).
 
-    Plane-major (vs the r2-r4 slot-interleaved order) makes the consumer's
-    reshape [width] -> [item_lanes, m_pad] FREE (minor dim stays the
-    m_pad >= 128 tile), so per-field extraction is a plain plane slice and
-    scoring is one native bf16 MXU contraction over the lane axis — killing
-    the r4 roofline's [B, beam, width] bf16->f32 convert_multiply fusion
-    (1.35 ms/batch), the three one-hot selector einsums, and the 6-pass
-    HIGHEST-precision f32 dot (VERDICT r4 weak #1).  The gather itself is
-    unchanged: rows are the same contiguous bytes.
+    Plane-major (vs the r2-r4 slot-interleaved order) puts every per-field
+    extraction at a contiguous minor-dim slice of the gathered 2-D rows
+    (see _score_blocks_topk) — killing the r4 roofline's [B, beam, width]
+    bf16->f32 convert_multiply fusion (1.35 ms/batch), the three one-hot
+    selector einsums, and the 6-pass HIGHEST-precision f32 dot (VERDICT r4
+    weak #1).  The gather itself is unchanged: rows are the same
+    contiguous bytes.
 
-    Returns (table [n_paths, m_pad*item_lanes], m_pad).  Built in donated
-    chunks: one fused build program peaks ~3x its output (CLAUDE.md), and
-    the w-row gather input table co-resides either way."""
+    Returns the [n_paths, planes_n*m_pad] table.  Built in donated chunks:
+    one fused build program peaks ~3x its output (CLAUDE.md), and the
+    w-row gather input table co-resides either way."""
     import functools
 
     from dismember_tpu.retrieval.packed_beam import _encode_id_digits
 
     n_paths, m = path_items.shape
-    group = 128 // item_lanes
-    m_pad = -(-m // group) * group
     e = int(softmax_w.shape[1])
-    width = m_pad * item_lanes
+    width = m_pad * planes_n
     items = np.full((n_paths, m_pad), -1, np.int64)
     items[:, :m] = path_items
 
@@ -170,13 +185,13 @@ def _build_block_table(
         rows = w[ids_safe].astype(jnp.bfloat16)  # [cs*m_pad, e]
         bias = bvec[ids_safe][:, None].astype(jnp.bfloat16)
         pad = jnp.zeros(
-            (rows.shape[0], item_lanes - e - 1 - _ID_DIGITS - 1), jnp.bfloat16
+            (rows.shape[0], planes_n - e - 1 - _ID_DIGITS - 1), jnp.bfloat16
         )
         lanes = jnp.concatenate(
             [rows, bias, digits.astype(jnp.bfloat16),
              valid.astype(jnp.bfloat16), pad], axis=1,
-        )  # [cs*m_pad, item_lanes]
-        planes = lanes.reshape(-1, m_pad, item_lanes).transpose(0, 2, 1)
+        )  # [cs*m_pad, planes_n]
+        planes = lanes.reshape(-1, m_pad, planes_n).transpose(0, 2, 1)
         return jax.lax.dynamic_update_slice(
             buf, planes.reshape(-1, width), (start, 0)
         )
@@ -195,7 +210,7 @@ def _build_block_table(
             jnp.asarray((flat >= 0)[:, None], jnp.float32),
             start,
         )
-    return buf, m_pad
+    return buf
 
 
 def pack_path_table(path_table: jnp.ndarray) -> jnp.ndarray:
@@ -219,6 +234,28 @@ def lookup_path_rows(ptab2d: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
         rows2.dtype
     )
     return (rows2 * oh).sum(-1)
+
+
+def _force_row_major(x: jnp.ndarray) -> jnp.ndarray:
+    """Commit ``x`` to a row-major device layout.
+
+    XLA's layout assignment gave the [10M, 32] bf16 seq-pack parameter a
+    COLUMN-major layout ({0,1}), making every 64-byte row gather read 2E
+    strided cache lines — 1.0 ms/batch where the measured row-major gather
+    envelope for 64B rows is ~0.25 ms (scripts/bench_gather_width.py).
+    One-time relayout at closure-build; falls back silently where the
+    layout API is unavailable."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        fmt = Format(
+            Layout(major_to_minor=tuple(range(x.ndim))),
+            SingleDeviceSharding(list(x.devices())[0]),
+        )
+        return jax.device_put(x, fmt)
+    except Exception:  # noqa: BLE001 — perf hint only, never correctness
+        return x
 
 
 def _build_seq_pack(layer_emb: jnp.ndarray, rerank_emb: jnp.ndarray):
@@ -312,19 +349,15 @@ def make_dr_serving_fn(
             "block" if num_items >= _PACKED_RERANK_MIN_ITEMS else "exact"
         )
     if rerank_table == "block":
-        item_lanes = _block_item_lanes(e)
-        group = 128 // item_lanes if item_lanes else 1
-        m_pad = -(-m // group) * group if item_lanes else m
+        geom = _block_geometry(e, m)
         if (
-            item_lanes is None
-            or dmap.path_items.shape[0] * m_pad * item_lanes * 2
+            geom is None
+            or dmap.path_items.shape[0] * geom[0] * geom[1] * 2
             > _BLOCK_TABLE_MAX_BYTES
         ):
             rerank_table = "packed"
     if rerank_table == "block":
-        return _make_block_serving_fn(
-            trainer, dmap, beam, k, item_lanes
-        )
+        return _make_block_serving_fn(trainer, dmap, beam, k, geom)
 
     packed_wb = None
     if rerank_table == "packed":
@@ -405,7 +438,6 @@ def _score_blocks_topk(
     user_vec,  # [B, E] f32
     consumed,  # [B, C] int32 or None
     e: int,
-    item_lanes: int,
     m_pad: int,
     k: int,
     j_paths: int,
@@ -501,33 +533,32 @@ def path_keys_and_dedup(paths, num_nodes: int):
     return keys, ~dup_path
 
 
-def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
+def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, geom):
     """Path-major block serving (see ``make_dr_serving_fn`` docstring)."""
-    from dismember_tpu.models.dr_models import rerank_user_vector
-
     num_items = trainer.data.num_items
     num_nodes = trainer.num_nodes
     num_layers = trainer.num_layers
     e = int(trainer.rerank_params["softmax_w"].shape[1])
     j_paths = max(1, int(getattr(trainer, "num_paths", 1)))
+    planes_n, m_pad = geom
 
-    block_tab, m_pad = _build_block_table(
+    block_tab = _build_block_table(
         trainer.rerank_params["softmax_w"],
         trainer.rerank_params["softmax_b"],
         np.asarray(dmap.path_items),
-        item_lanes,
+        planes_n,
+        m_pad,
     )
     ptab2d = pack_path_table(dmap.path_table)
-    seq_pack = _build_seq_pack(
+    seq_pack = _force_row_major(_build_seq_pack(
         trainer.layer_params["embedding"], trainer.rerank_params["embedding"]
-    )
+    ))
 
     # the block/seq/path tables are jit ARGUMENTS for the same reason
     # packed_wb is: closure-captured device arrays become HLO literal
     # constants (multi-GB for the table; [K^D] for the path map)
-    @jax.jit
-    def run(layer_params, rerank_params, block_tab, ptab2d,
-            seq_pack, seqs, consumed=None):
+    def run_impl(layer_params, rerank_params, block_tab, ptab2d,
+                 seq_pack, seqs, consumed=None):
         b, l_seq = seqs.shape
         # one bf16 [V, 2E] gather feeds both the layer heads' seq parts and
         # the rerank user vector (see _build_seq_pack)
@@ -554,9 +585,17 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, item_lanes):
         path_ok = (rows >= 0) & first
         blocks = block_tab[jnp.maximum(rows, 0).reshape(-1)]  # [B*beam, width]
         return _score_blocks_topk(
-            blocks, path_ok, user_vec, consumed,
-            e, item_lanes, m_pad, k, j_paths,
+            blocks, path_ok, user_vec, consumed, e, m_pad, k, j_paths,
         )
+
+    try:
+        # pin the seq-pack parameter to its committed (row-major) layout so
+        # XLA's layout assignment can't flip it back to column-major
+        run = jax.jit(run_impl, in_shardings=(
+            None, None, None, None, seq_pack.format, None, None,
+        ))
+    except Exception:  # noqa: BLE001 — layout pinning is a perf hint only
+        run = jax.jit(run_impl)
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
         return run(layer_params, rerank_params, block_tab, ptab2d,

@@ -388,7 +388,7 @@ def make_sharded_dr_serving_fn(
 
     from dismember_tpu.retrieval.dr_serve import (
         DevicePathMap,
-        _block_item_lanes,
+        _block_geometry,
         _build_block_table,
         _build_seq_pack,
         _score_blocks_topk,
@@ -416,9 +416,10 @@ def make_sharded_dr_serving_fn(
     e = trainer._embed_size
     j_paths = max(1, int(getattr(trainer, "num_paths", 1)))
     n_model = mesh.shape[MODEL_AXIS]
-    item_lanes = _block_item_lanes(e)
-    if item_lanes is None:
+    geom = _block_geometry(e, dmap.path_items.shape[1])
+    if geom is None:
         return None
+    planes_n, m_pad = geom
 
     rep = NamedSharding(mesh, P())
     rowsh = NamedSharding(mesh, P(MODEL_AXIS, None))
@@ -436,11 +437,12 @@ def make_sharded_dr_serving_fn(
     heads = jax.device_put(trainer.layer_params["heads"], rep)
     linear = jax.device_put(trainer.rerank_params["linear"], rep)
 
-    block_tab, m_pad = _build_block_table(
+    block_tab = _build_block_table(
         trainer.rerank_params["softmax_w"],
         trainer.rerank_params["softmax_b"],
         np.asarray(dmap.path_items),
-        item_lanes,
+        planes_n,
+        m_pad,
     )
     n_paths = block_tab.shape[0]
     padp = (-n_paths) % n_model
@@ -490,8 +492,7 @@ def make_sharded_dr_serving_fn(
             + linear_p["bias"]
         )
         return _score_blocks_topk(
-            blocks, path_ok, user_vec, consumed,
-            e, item_lanes, m_pad, k, j_paths,
+            blocks, path_ok, user_vec, consumed, e, m_pad, k, j_paths,
         )
 
     rep_spec = P()
