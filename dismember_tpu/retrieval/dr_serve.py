@@ -591,15 +591,26 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, geom):
     try:
         # pin the seq-pack parameter to its committed (row-major) layout so
         # XLA's layout assignment can't flip it back to column-major
-        run = jax.jit(run_impl, in_shardings=(
+        pinned = jax.jit(run_impl, in_shardings=(
             None, None, None, None, seq_pack.format, None, None,
         ))
     except Exception:  # noqa: BLE001 — layout pinning is a perf hint only
-        run = jax.jit(run_impl)
+        pinned = None
+    plain = jax.jit(run_impl)
+    state = {"run": pinned or plain}
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        return run(layer_params, rerank_params, block_tab, ptab2d,
-                   seq_pack, seqs, consumed)
+        try:
+            return state["run"](layer_params, rerank_params, block_tab,
+                                ptab2d, seq_pack, seqs, consumed)
+        except Exception:  # noqa: BLE001 — layout pin may fail at lowering
+            if state["run"] is plain:
+                raise
+            state["run"] = plain
+            return plain(layer_params, rerank_params, block_tab, ptab2d,
+                         seq_pack, seqs, consumed)
+
+    run = state["run"]
 
     fn._run = run
     fn._dmap = dmap

@@ -163,3 +163,37 @@ def test_truncation_keeps_high_priority_items():
     # without priority: insertion order (whatever it is), still 8 items
     dmap2 = DevicePathMap.build(idx, max_items_per_path=8)
     assert (np.asarray(dmap2.path_items)[np.asarray(dmap2.path_table)[0]] >= 0).sum() == 8
+
+
+def test_block_geometry_invariants():
+    """The minimal-plane-count search must (a) hold every payload plane,
+    (b) keep rows tile-aligned (width % 128 == 0 — otherwise the table
+    pads up to 128/width-fold in HBM), (c) cover >= m item slots, and
+    (d) never be wider than the old power-of-two rule it replaced (which
+    read up to 25% zero padding per gather at the 10M bench config)."""
+    import math
+
+    from dismember_tpu.retrieval.dr_serve import _ID_DIGITS, _block_geometry
+
+    def pow2_width(e, m):
+        used = e + 1 + _ID_DIGITS + 1
+        for lanes in (32, 64, 128):
+            if used <= lanes:
+                group = 128 // lanes
+                return lanes * (-(-m // group) * group)
+        return None
+
+    for e in (8, 16, 24, 32, 64, 120):
+        for m in (1, 7, 45, 48, 128):
+            geom = _block_geometry(e, m)
+            used = e + 1 + _ID_DIGITS + 1
+            assert geom is not None
+            planes, m_pad = geom
+            assert planes >= used
+            assert m_pad >= m
+            assert (planes * m_pad) % 128 == 0
+            old = pow2_width(e, m)
+            if old is not None:
+                assert planes * m_pad <= old, (e, m, geom, old)
+    # payload overflow -> None
+    assert _block_geometry(126, 4) is None
