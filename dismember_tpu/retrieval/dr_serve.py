@@ -236,28 +236,6 @@ def lookup_path_rows(ptab2d: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
     return (rows2 * oh).sum(-1)
 
 
-def _force_row_major(x: jnp.ndarray) -> jnp.ndarray:
-    """Commit ``x`` to a row-major device layout.
-
-    XLA's layout assignment gave the [10M, 32] bf16 seq-pack parameter a
-    COLUMN-major layout ({0,1}), making every 64-byte row gather read 2E
-    strided cache lines — 1.0 ms/batch where the measured row-major gather
-    envelope for 64B rows is ~0.25 ms (scripts/bench_gather_width.py).
-    One-time relayout at closure-build; falls back silently where the
-    layout API is unavailable."""
-    try:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        fmt = Format(
-            Layout(major_to_minor=tuple(range(x.ndim))),
-            SingleDeviceSharding(list(x.devices())[0]),
-        )
-        return jax.device_put(x, fmt)
-    except Exception:  # noqa: BLE001 — perf hint only, never correctness
-        return x
-
-
 def _build_seq_pack(layer_emb: jnp.ndarray, rerank_emb: jnp.ndarray):
     """[V(+nodes), E] layer + [V, E] rerank item embeddings -> one
     [V, 2E] bf16 serving table (lanes 0:E layer, E:2E rerank).
@@ -550,9 +528,9 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, geom):
         m_pad,
     )
     ptab2d = pack_path_table(dmap.path_table)
-    seq_pack = _force_row_major(_build_seq_pack(
+    seq_pack = _build_seq_pack(
         trainer.layer_params["embedding"], trainer.rerank_params["embedding"]
-    ))
+    )
 
     # the block/seq/path tables are jit ARGUMENTS for the same reason
     # packed_wb is: closure-captured device arrays become HLO literal
@@ -588,29 +566,17 @@ def _make_block_serving_fn(trainer, dmap: DevicePathMap, beam, k, geom):
             blocks, path_ok, user_vec, consumed, e, m_pad, k, j_paths,
         )
 
-    try:
-        # pin the seq-pack parameter to its committed (row-major) layout so
-        # XLA's layout assignment can't flip it back to column-major
-        pinned = jax.jit(run_impl, in_shardings=(
-            None, None, None, None, seq_pack.format, None, None,
-        ))
-    except Exception:  # noqa: BLE001 — layout pinning is a perf hint only
-        pinned = None
-    plain = jax.jit(run_impl)
-    state = {"run": pinned or plain}
+    # NOTE: do NOT pin the seq-pack parameter layout.  XLA assigns the
+    # table column-major by CHOICE (its gather wants it that way: the
+    # {0,1} gather costs the same 1.0 ms either way) — forcing the
+    # committed row-major layout through in_shardings made XLA insert a
+    # whole-table {1,0}->{0,1} relayout copy INSIDE the program, 4.58
+    # ms/call at 10M items (data/r5/dr_serve_profile5.log).
+    run = jax.jit(run_impl)
 
     def fn(layer_params, rerank_params, seqs, consumed=None):
-        try:
-            return state["run"](layer_params, rerank_params, block_tab,
-                                ptab2d, seq_pack, seqs, consumed)
-        except Exception:  # noqa: BLE001 — layout pin may fail at lowering
-            if state["run"] is plain:
-                raise
-            state["run"] = plain
-            return plain(layer_params, rerank_params, block_tab, ptab2d,
-                         seq_pack, seqs, consumed)
-
-    run = state["run"]
+        return run(layer_params, rerank_params, block_tab, ptab2d,
+                   seq_pack, seqs, consumed)
 
     fn._run = run
     fn._dmap = dmap
