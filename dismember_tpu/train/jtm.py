@@ -441,6 +441,7 @@ class GenericTreeLearner:
                 weights = self.compute_weights(proj, old_level, level)
                 choice_j = np.argmax(weights, axis=1)
                 fetch_rows = lambda idx: weights[idx]  # noqa: E731
+            t_score = time.perf_counter() - t0
             old_codes = self._old_ancestors_at_level(level)
             max_assign = 1 << (max_level - level)
             n_cand = 1 << d
@@ -522,8 +523,16 @@ class GenericTreeLearner:
                         for pos in positions:
                             new_proj[pos] = child
             proj = new_proj
+            # split logged so wall growth across levels is attributable:
+            # scoring is constant work per level; the greedy-rebalance host
+            # loop scales with over-capacity segment count (explodes toward
+            # the leaves) — the 10M-item sweep's +~25s/level growth needs
+            # this attribution before optimizing either side
             logger.info(
-                f"level {level} assign time: {time.perf_counter() - t0:.3f}s"
+                f"level {level} assign time: "
+                f"{time.perf_counter() - t0:.3f}s "
+                f"(score {t_score:.3f}s, rebalance segments "
+                f"{len(over_parents)})"
             )
 
         return {int(self.items[i]): int(proj[i]) for i in range(n_items)}
